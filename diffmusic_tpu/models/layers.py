@@ -1,0 +1,189 @@
+"""Shared flax building blocks for the latent-diffusion model zoo.
+
+Structurally equivalent to the diffusers blocks the reference loads from the HF hub
+(AutoencoderKL / UNet2DConditionModel / AudioLDM2UNet2DConditionModel — see
+reference plpeline_audioldm2.py:21-46, pipeline_musicldm.py:30-40), re-designed for
+TPU: channels-last (NHWC) layout throughout, bf16-friendly matmuls with fp32
+accumulation, and no data-dependent control flow so everything scans/jits.
+"""
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0,
+                       max_period: float = 10000.0) -> jax.Array:
+    """Sinusoidal timestep embedding (diffusers Timesteps semantics)."""
+    half = dim // 2
+    exponent = -np.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """linear -> silu -> linear projection of the sinusoidal embedding."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, t_emb):
+        x = nn.Dense(self.dim, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        return nn.Dense(self.dim, name="linear_2")(x)
+
+
+class ResnetBlock2D(nn.Module):
+    """GroupNorm/SiLU/Conv x2 with a time-embedding shift and skip connection."""
+    out_channels: int
+    groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, temb):
+        in_channels = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
+        if temb is not None:
+            t = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), name="conv_shortcut")(x)
+        return x + h
+
+
+class Attention(nn.Module):
+    """Multi-head attention with fused QKV projections sized for the MXU.
+
+    Uses `jax.nn.dot_product_attention` so XLA lowers it to the fused attention
+    path on TPU. qkv projections carry no bias (diffusers convention for these
+    models); the output projection does.
+    """
+    heads: int
+    head_dim: int
+    out_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, context=None, mask=None):
+        context = x if context is None else context
+        inner = self.heads * self.head_dim
+        out_dim = self.out_dim or x.shape[-1]
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(context)
+
+        b, tq = q.shape[0], q.shape[1]
+        tk = k.shape[1]
+        q = q.reshape(b, tq, self.heads, self.head_dim)
+        k = k.reshape(b, tk, self.heads, self.head_dim)
+        v = v.reshape(b, tk, self.heads, self.head_dim)
+
+        bias = None
+        if mask is not None:
+            bias = jnp.where(mask[:, None, None, :], 0.0, -1e9).astype(q.dtype)
+
+        attn = jax.nn.dot_product_attention(q, k, v, bias=bias)
+        attn = attn.reshape(b, tq, inner)
+        return nn.Dense(out_dim, name="to_out")(attn)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (diffusers FeedForward default)."""
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        hidden = nn.Dense(inner * 2, name="proj_in")(x)
+        h, gate = jnp.split(hidden, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return nn.Dense(dim, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """Self-attn [+ up to two cross-attn streams] + GEGLU FF, pre-LayerNorm.
+
+    `cross_dims` holds the context dims of the cross-attention streams: () for
+    self-attention-only (MusicLDM), one entry for a single stream, two for
+    AudioLDM2's dual conditioning (GPT-2 stream + T5 stream, reference
+    plpeline_audioldm2.py:1147-1154).
+    """
+    heads: int
+    head_dim: int
+    cross_dims: Sequence[int] = ()
+
+    @nn.compact
+    def __call__(self, x, contexts=(), context_masks=()):
+        h = nn.LayerNorm(name="norm1")(x)
+        x = x + Attention(self.heads, self.head_dim, name="attn1")(h)
+        for i, _ in enumerate(self.cross_dims):
+            ctx = contexts[i]
+            m = context_masks[i] if i < len(context_masks) else None
+            h = nn.LayerNorm(name=f"norm2_{i}")(x)
+            x = x + Attention(self.heads, self.head_dim, name=f"attn2_{i}")(
+                h, context=ctx, mask=m)
+        h = nn.LayerNorm(name="norm3")(x)
+        x = x + FeedForward(name="ff")(h)
+        return x
+
+
+class Transformer2DModel(nn.Module):
+    """GroupNorm -> 1x1 proj -> transformer blocks over (H*W) tokens -> 1x1 proj.
+
+    Residual around the whole stack, like diffusers Transformer2DModel.
+    """
+    heads: int
+    head_dim: int
+    depth: int = 1
+    cross_dims: Sequence[int] = ()
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, contexts=(), context_masks=()):
+        b, h, w, c = x.shape
+        residual = x
+        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm")(x)
+        y = nn.Dense(self.heads * self.head_dim, name="proj_in")(y)
+        y = y.reshape(b, h * w, -1)
+        for i in range(self.depth):
+            y = BasicTransformerBlock(self.heads, self.head_dim, self.cross_dims,
+                                      name=f"block_{i}")(y, contexts, context_masks)
+        y = y.reshape(b, h, w, -1)
+        y = nn.Dense(c, name="proj_out")(y)
+        return y + residual
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        # diffusers pads (0,1,0,1) then convs with stride 2 and no padding
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding="VALID",
+                       name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, name="conv")(x)
