@@ -1,0 +1,112 @@
+"""Benchmark: 200-step DPS music inpainting of a 10-s clip on one TPU chip.
+
+The BASELINE.md north star is < 10 s wall-clock for this exact workload (200 steps
+x [CFG-doubled UNet forward + guidance backward through VAE decode + HiFi-GAN +
+inpainting operator]) at MusicLDM scale. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+vs_baseline > 1 means faster than the 10-s target.
+
+Weights are random (no hub egress in this environment) — identical FLOP/memory
+profile to converted checkpoints.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_WALL_S = 10.0
+NUM_STEPS = 200
+AUDIO_S = 10.0
+
+
+def main(compute_dtype=jnp.bfloat16):
+    import __graft_entry__
+    from diffmusic_tpu.samplers import SamplerConfig, make_step_fn
+    from diffmusic_tpu.models.vae import AutoencoderKL
+
+    pipe, op, lat_shape, owl, audio_s = __graft_entry__._flagship(tiny=False)
+
+    # bf16 weights for the MXU hot path; fp32 guidance algebra
+    cast = lambda tree: jax.tree.map(
+        lambda x: x.astype(compute_dtype)
+        if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x, tree)
+    unet_params = cast(pipe.unet_params)
+    vae_params = cast(pipe.vae_params)
+    voc_params = cast(pipe.vocoder_params)
+
+    measurement = op.forward(jnp.zeros((1, owl)))
+    target_mel = op.transform(measurement)
+    cfg = SamplerConfig(name="dps", eta=0.0, ip_guidance_rate=5e-4,
+                        num_inference_steps=NUM_STEPS)
+    cls_dim = pipe.unet_cfg.projection_class_embeddings_input_dim
+    prompt_embeds = jnp.zeros((2, cls_dim), compute_dtype)
+    guidance_scale = 2.0
+    scaling = pipe.vae_cfg.scaling_factor
+    timesteps = jnp.asarray(pipe.schedule.timesteps(NUM_STEPS))
+
+    def model_fn(x, t):
+        x_in = jnp.concatenate([x, x], axis=0).astype(compute_dtype)
+        eps = pipe.unet.apply(unet_params, x_in, t, class_labels=prompt_embeds)
+        uncond, text = jnp.split(eps.astype(jnp.float32), 2, axis=0)
+        return uncond + guidance_scale * (text - uncond)
+
+    def loss_fn(x0_latent):
+        mel = pipe.vae.apply(vae_params, (x0_latent / scaling).astype(compute_dtype),
+                             method=AutoencoderKL.decode)
+        audio = op.inverse_transform(
+            mel, lambda m: pipe.vocoder.apply(voc_params, m))
+        pred = op.forward(audio[:, :owl].astype(jnp.float32))
+        return jnp.linalg.norm(target_mel - op.transform(pred))
+
+    step_fn = make_step_fn(pipe.schedule, cfg, loss_fn)
+
+    @jax.jit
+    def sample(latents, key):
+        def body(carry, t):
+            x, k = carry
+            k, sub = jax.random.split(k)
+            eps = model_fn(x, t)
+            prev, _x0, loss = step_fn(eps, t, x, sub)
+            return (prev, k), loss
+
+        (final, _), losses = jax.lax.scan(body, (latents, key), timesteps)
+        return final, losses
+
+    latents = jax.random.normal(jax.random.key(0), lat_shape)
+
+    # compile (cached across runs by XLA's persistent cache where available)
+    t0 = time.time()
+    final, losses = sample(latents, jax.random.key(1))
+    final.block_until_ready()
+    compile_and_first_run_s = time.time() - t0
+
+    # timed run
+    t0 = time.time()
+    final, losses = sample(latents, jax.random.key(2))
+    final.block_until_ready()
+    wall = time.time() - t0
+
+    assert np.isfinite(np.asarray(losses)).all(), "NaN loss in benchmark run"
+
+    result = {
+        "metric": "dps_200step_10s_inpainting_wall_clock",
+        "value": round(wall, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_WALL_S / wall, 3),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "compile_and_first_run_s": round(compile_and_first_run_s, 1),
+            "seconds_of_audio_per_sec_per_chip": round(AUDIO_S / wall, 3),
+            "final_loss": float(losses[-1]),
+        },
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

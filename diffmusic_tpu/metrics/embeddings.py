@@ -1,0 +1,82 @@
+"""Audio embedding models for FAD/KL evaluation.
+
+The reference pulls VGGish from torch.hub (diffmusic/metrics/fad.py:59) and a zoo
+of HF models via fadtk (fadtk/model_loader.py). This environment has zero egress,
+so the default embedder is deterministic and training-free (MFCC statistics over
+VGGish-style ~1 s frames — standard audio features, reproducible everywhere), and
+real embedders (VGGish/CLAP) plug in through the same interface when local
+checkpoints are available.
+
+Interface: model(waveform_16k: (n,) float32) -> (num_frames, dim) embeddings.
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.mel import mel_filterbank
+from ..ops.stft import spectrogram
+
+
+def _dct_matrix(n_filters: int, n_coeffs: int) -> np.ndarray:
+    """Orthonormal type-II DCT matrix (n_filters, n_coeffs)."""
+    n = np.arange(n_filters)[:, None]
+    k = np.arange(n_coeffs)[None, :]
+    m = np.cos(np.pi / n_filters * (n + 0.5) * k)
+    m *= np.sqrt(2.0 / n_filters)
+    m[:, 0] *= np.sqrt(0.5)
+    return m.astype(np.float32)
+
+
+@dataclass(frozen=True)
+class MFCCStackEmbedding:
+    """Deterministic embedding: per ~0.96 s window, mean/std of 40 MFCCs and their
+    deltas -> 160-d vector (VGGish-like framing: 16 kHz, 25 ms/10 ms frames,
+    96-frame windows)."""
+    sample_rate: int = 16000
+    n_mels: int = 64
+    n_mfcc: int = 40
+    window_frames: int = 96
+    hop_frames: int = 48
+    name: str = "mfcc-stack"
+
+    @property
+    def dim(self) -> int:
+        return 4 * self.n_mfcc
+
+    def __call__(self, wav: np.ndarray) -> np.ndarray:
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        x = jnp.asarray(wav[None])
+        spec = spectrogram(x, n_fft=400, hop_length=160, win_length=400,
+                           power=2.0, use_hann=True)  # (1, 201, T)
+        fb = jnp.asarray(mel_filterbank(201, self.n_mels, self.sample_rate,
+                                        f_min=125.0, f_max=7500.0))
+        mel = jnp.einsum("bft,fm->bmt", spec, fb)
+        logmel = jnp.log(mel + 1e-6)[0].T  # (T, n_mels)
+        dct = jnp.asarray(_dct_matrix(self.n_mels, self.n_mfcc))
+        mfcc = logmel @ dct  # (T, n_mfcc)
+        mfcc = np.asarray(mfcc)
+
+        T = mfcc.shape[0]
+        if T < self.window_frames:
+            mfcc = np.pad(mfcc, ((0, self.window_frames - T), (0, 0)))
+            T = self.window_frames
+        frames = []
+        for start in range(0, T - self.window_frames + 1, self.hop_frames):
+            w = mfcc[start:start + self.window_frames]
+            d = np.diff(w, axis=0)
+            frames.append(np.concatenate([
+                w.mean(0), w.std(0), d.mean(0), d.std(0)]))
+        return np.stack(frames).astype(np.float32)
+
+
+def get_embedding_model(name: str = "mfcc-stack", checkpoint_dir=None):
+    """Pluggable registry. 'mfcc-stack' is the egress-free default; 'vggish' /
+    'clap-*' require local checkpoints converted with models/convert.py."""
+    if name == "mfcc-stack":
+        return MFCCStackEmbedding()
+    raise ValueError(
+        f"Embedding model '{name}' requires local checkpoints (no hub egress); "
+        f"available offline: 'mfcc-stack'")

@@ -1,0 +1,89 @@
+"""HiFi-GAN vocoder (SpeechT5HifiGan-compatible) in flax.
+
+Mirrors transformers.SpeechT5HifiGan, which the reference uses as the mel->waveform
+vocoder on the guidance gradient path (scheduling_dps.py:198, operator.py:38-42).
+Implemented channels-last with `lax.conv_transpose` upsampling; weight layouts are
+chosen so the torch state dict converts by pure transposition (convert.py).
+"""
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .configs import HiFiGANConfig
+
+
+def _leaky(x, slope):
+    return nn.leaky_relu(x, negative_slope=slope)
+
+
+class ResidualBlock(nn.Module):
+    """HifiGanResidualBlock: (lrelu -> dilated conv -> lrelu -> conv) + skip, xN."""
+    channels: int
+    kernel_size: int
+    dilations: Tuple[int, ...]
+    slope: float
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            res = x
+            h = _leaky(x, self.slope)
+            pad = (self.kernel_size - 1) * d // 2
+            h = nn.Conv(self.channels, (self.kernel_size,), kernel_dilation=(d,),
+                        padding=[(pad, pad)], name=f"convs1_{i}")(h)
+            h = _leaky(h, self.slope)
+            pad = (self.kernel_size - 1) // 2
+            h = nn.Conv(self.channels, (self.kernel_size,),
+                        padding=[(pad, pad)], name=f"convs2_{i}")(h)
+            x = h + res
+        return x
+
+
+class SpeechT5HifiGan(nn.Module):
+    cfg: HiFiGANConfig
+
+    @nn.compact
+    def __call__(self, spectrogram: jax.Array) -> jax.Array:
+        """(B, T, model_in_dim) log-mel -> (B, T * hop_length) waveform.
+
+        Same geometry as transformers SpeechT5HifiGan.forward (the reference's
+        vocoder(mel) calls at operator.py:41).
+        """
+        cfg = self.cfg
+        x = spectrogram
+        if cfg.normalize_before:
+            mean = self.param("mean", nn.initializers.zeros, (cfg.model_in_dim,))
+            scale = self.param("scale", nn.initializers.ones, (cfg.model_in_dim,))
+            x = (x - mean) / scale
+
+        x = nn.Conv(cfg.upsample_initial_channel, (7,), padding=[(3, 3)],
+                    name="conv_pre")(x)
+
+        num_kernels = len(cfg.resblock_kernel_sizes)
+        for i, (rate, k) in enumerate(zip(cfg.upsample_rates,
+                                          cfg.upsample_kernel_sizes)):
+            x = _leaky(x, cfg.leaky_relu_slope)
+            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            # torch ConvTranspose1d(stride=rate, padding=P=(k-rate)//2) gives
+            # out = (in-1)*rate + k - 2P; flax explicit padding (lo, hi) gives
+            # out = (in-1)*rate + k - 2(k-1) + lo + hi, so lo = hi = k - 1 - P
+            pad = k - 1 - (k - rate) // 2
+            x = nn.ConvTranspose(
+                ch, (k,), strides=(rate,), padding=[(pad, pad)],
+                transpose_kernel=True, name=f"upsampler_{i}")(x)
+
+            res = None
+            for j, rk in enumerate(cfg.resblock_kernel_sizes):
+                out = ResidualBlock(ch, rk, cfg.resblock_dilation_sizes[j],
+                                    cfg.leaky_relu_slope,
+                                    name=f"resblocks_{i * num_kernels + j}")(x)
+                res = out if res is None else res + out
+            x = res / num_kernels
+
+        x = _leaky(x, cfg.leaky_relu_slope)
+        x = nn.Conv(1, (7,), padding=[(3, 3)], name="conv_post")(x)
+        x = jnp.tanh(x)
+        return x[..., 0]  # (B, L)

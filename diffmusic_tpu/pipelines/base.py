@@ -1,0 +1,116 @@
+"""Shared pipeline machinery: geometry, scan-compiled denoise loop, NaN-retry,
+DITTO outer optimization, mel PNG/waveform output helpers.
+
+The reference's per-step Python loop with torch.enable_grad
+(pipeline_musicldm.py:677-771) becomes ONE jitted `lax.scan` whose body contains
+the UNet forward, the guided sampler step, and the jax.grad guidance chain; the
+NaN-retry wrapper (pipeline_musicldm.py:742-756) runs at the host level around the
+compiled scan, re-seeding via jax.random.fold_in.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..samplers import DiffusionSchedule, SamplerConfig, make_step_fn
+
+
+@dataclass
+class AudioPipelineOutput:
+    audios: np.ndarray
+
+
+def compute_geometry(audio_length_in_s: float, sampling_rate: int,
+                     hop_length: int, vae_scale_factor: int):
+    """Spectrogram height + original waveform length (pipeline_musicldm.py:604-619)."""
+    vocoder_upsample_factor = hop_length / sampling_rate
+    height = int(audio_length_in_s / vocoder_upsample_factor)
+    original_waveform_length = int(audio_length_in_s * sampling_rate)
+    if height % vae_scale_factor != 0:
+        height = int(np.ceil(height / vae_scale_factor)) * vae_scale_factor
+    return height, original_waveform_length
+
+
+def prepare_latents(key, batch: int, channels: int, height: int, width: int,
+                    vae_scale_factor: int, dtype=jnp.float32):
+    shape = (batch, channels, height // vae_scale_factor, width // vae_scale_factor)
+    return jax.random.normal(key, shape, dtype)  # init_noise_sigma = 1 for DDIM
+
+
+def run_denoise_scan(step_fn, model_fn, latents, timesteps, key,
+                     remat: bool = False):
+    """Scan `prev, x0, loss = step_fn(model_fn(x, t), t, x, key_t)` over timesteps.
+
+    Returns (final_latents, per-step losses). The caller jits this (usually via a
+    closed-over jitted wrapper) so the whole loop is one XLA program.
+    """
+    def body(carry, tk):
+        x, k = carry
+        k, sub = jax.random.split(k)
+        eps = model_fn(x, tk)
+        prev, _x0, loss = step_fn(eps, tk, x, sub)
+        return (prev, k), loss
+
+    if remat:
+        body = jax.checkpoint(body)
+    (final, _), losses = jax.lax.scan(body, (latents, key), timesteps)
+    return final, losses
+
+
+def denoise_with_nan_retry(run_fn, init_latents, key, max_retries: int = 10):
+    """Host-level NaN guard: re-init latents and rerun, <=10 times
+    (reference pipeline_musicldm.py:742-756)."""
+    latents = init_latents
+    for attempt in range(max_retries + 1):
+        final, losses = run_fn(latents, jax.random.fold_in(key, attempt))
+        if not bool(jnp.isnan(losses[-1])) and not bool(
+                jnp.isnan(final).any()):
+            return final, losses
+        retry_key = jax.random.fold_in(key, 1000 + attempt)
+        latents = jax.random.normal(retry_key, init_latents.shape,
+                                    init_latents.dtype)
+    return final, losses
+
+
+def run_ditto(loss_of_init, decode_fn, init_latents, key,
+              optim_outer_loop: int, lr: float):
+    """DITTO: SGD on the initial latent through the full differentiable chain.
+
+    loss_of_init(init_latents, key) -> (final_loss, final_latents); grad w.r.t.
+    the init latent (reference scheduling_ditto.py:205-208 +
+    pipeline_musicldm.py:677-684). Plain SGD like the reference's
+    torch.optim.SGD([init_latents], lr=ip_guidance_rate).
+    """
+    grad_fn = jax.jit(jax.value_and_grad(loss_of_init, has_aux=True))
+    latents = init_latents
+    losses = []
+    for it in range(optim_outer_loop):
+        (loss, final), grad = grad_fn(latents, key)
+        losses.append(float(loss))
+        latents = latents - lr * grad
+    return final, np.asarray(losses)
+
+
+def save_mel_spectrogram(mel: np.ndarray, path, sample_rate: int = 16000,
+                         hop_length: int = 160):
+    """Save a (T, n_mels) dB mel spectrogram as a PNG (host-side matplotlib),
+    mirroring the reference's save_mel_spectrogram (pipeline_musicldm.py:462-489)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    mel = np.asarray(mel)
+    while mel.ndim > 2:
+        mel = mel[0]
+    fig, ax = plt.subplots(figsize=(10, 4))
+    extent = [0, mel.shape[0] * hop_length / sample_rate, 0, sample_rate / 2]
+    ax.imshow(mel.T, aspect="auto", origin="lower", extent=extent, cmap="magma")
+    ax.set_xlabel("time (s)")
+    ax.set_ylabel("freq (Hz)")
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)

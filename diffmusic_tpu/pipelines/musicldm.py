@@ -1,0 +1,292 @@
+"""MusicLDM pipeline: CLAP-conditioned latent diffusion for music inverse problems.
+
+Reference: diffmusic/pipelines/pipeline_musicldm.py (class MusicLDMPipeline).
+TPU re-design: prompt encoding happens once on the host side of the jit boundary;
+the denoise loop (UNet CFG forward + guided sampler step + guidance grad through
+VAE decode -> HiFi-GAN -> operator) compiles to a single lax.scan program.
+"""
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..inverse_problem.operator import BaseOperator, IdentityOperator
+from ..models.clap import ClapTextModelWithProjection
+from ..models.configs import (ClapTextConfig, HiFiGANConfig, UNetConfig, VAEConfig,
+                              tiny_clap_text_config, tiny_hifigan_config,
+                              tiny_unet_config, tiny_vae_config)
+from ..models.hifigan import SpeechT5HifiGan
+from ..models.unet import UNet2DConditionModel
+from ..models.vae import AutoencoderKL
+from ..samplers import DiffusionSchedule, SamplerConfig, make_step_fn
+from .base import (AudioPipelineOutput, compute_geometry, denoise_with_nan_retry,
+                   prepare_latents, run_denoise_scan, run_ditto,
+                   save_mel_spectrogram)
+
+
+@dataclass
+class MusicLDMPipeline:
+    unet_cfg: UNetConfig
+    vae_cfg: VAEConfig
+    vocoder_cfg: HiFiGANConfig
+    text_cfg: ClapTextConfig
+    unet_params: dict
+    vae_params: dict
+    vocoder_params: dict
+    text_params: dict
+    schedule: DiffusionSchedule = field(default_factory=DiffusionSchedule)
+    scheduler_name: str = "ddim"
+    operator: BaseOperator = field(default_factory=IdentityOperator)
+    tokenizer: Optional[Callable] = None  # texts -> (ids, attention_mask)
+    dtype: jnp.dtype = jnp.float32
+
+    def __post_init__(self):
+        self.unet = UNet2DConditionModel(self.unet_cfg)
+        self.vae = AutoencoderKL(self.vae_cfg)
+        self.vocoder = SpeechT5HifiGan(self.vocoder_cfg)
+        self.text_encoder = ClapTextModelWithProjection(self.text_cfg)
+        self.vae_scale_factor = self.vae_cfg.scale_factor
+        self._denoise_cache = {}
+
+    # ------------------------------------------------------------------ text
+    def encode_prompt(self, prompt, negative_prompt=None,
+                      do_classifier_free_guidance=True):
+        """CLAP pooled text features, normalized, CFG-stacked [uncond; cond].
+
+        Reference pipeline_musicldm.py:119-250 (_encode_prompt with
+        get_text_features).
+        """
+        if self.tokenizer is None:
+            raise ValueError("No tokenizer configured; pass prompt_embeds instead")
+        ids, mask = self.tokenizer([prompt or ""])
+        emb = self.text_encoder.apply(self.text_params, jnp.asarray(ids),
+                                      jnp.asarray(mask))
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        if not do_classifier_free_guidance:
+            return emb
+        nids, nmask = self.tokenizer([negative_prompt or ""])
+        nemb = self.text_encoder.apply(self.text_params, jnp.asarray(nids),
+                                       jnp.asarray(nmask))
+        nemb = nemb / jnp.linalg.norm(nemb, axis=-1, keepdims=True)
+        return jnp.concatenate([nemb, emb], axis=0)
+
+    # ----------------------------------------------------------------- audio
+    def decode_mel(self, latents):
+        scaled = latents / self.vae_cfg.scaling_factor
+        return self.vae.apply(self.vae_params, scaled, method=AutoencoderKL.decode)
+
+    def mel_to_waveform(self, mel):
+        """(B, 1, T, n_mels) or (B, T, n_mels) -> (B, L) via HiFi-GAN."""
+        if mel.ndim == 4:
+            mel = mel[:, 0]
+        return self.vocoder.apply(self.vocoder_params, mel)
+
+    def _vocoder_fn(self):
+        params = self.vocoder_params
+        apply = self.vocoder.apply
+        return lambda mel: apply(params, mel)
+
+    def make_loss_fn(self, measurement, original_waveform_length: int,
+                     supervised_space: str = "mel_spectrogram"):
+        """rec_loss(pred_x0_latent) = || y_space - A_space(decode(x0)) ||_F.
+
+        The guidance chain of scheduling_dps.py:195-211: VAE decode -> vocoder ->
+        crop -> operator.forward -> (optional mel transform) -> Frobenius norm.
+        """
+        op = self.operator
+        vocoder = self._vocoder_fn()
+        if supervised_space == "mel_spectrogram":
+            target = op.transform(measurement)
+        elif supervised_space == "wav_form":
+            target = measurement
+        else:
+            raise ValueError(
+                "supervised_space should be either 'wav_form' or 'mel_spectrogram'")
+
+        def loss_fn(x0_latent):
+            mel = self.decode_mel(x0_latent)
+            audio = op.inverse_transform(mel, vocoder)
+            audio = audio[:, :original_waveform_length]
+            pred = op.forward(audio)
+            if supervised_space == "mel_spectrogram":
+                diff = target - op.transform(pred)
+            else:
+                diff = target - pred
+            return jnp.linalg.norm(diff)
+
+        return loss_fn
+
+    # --------------------------------------------------------------- denoise
+    def _make_model_fn(self, prompt_embeds, guidance_scale: float):
+        do_cfg = guidance_scale > 1.0
+        unet_apply = self.unet.apply
+        params = self.unet_params
+
+        def model_fn(x, t):
+            if do_cfg:
+                x_in = jnp.concatenate([x, x], axis=0)
+                eps = unet_apply(params, x_in, t, class_labels=prompt_embeds)
+                uncond, text = jnp.split(eps, 2, axis=0)
+                return uncond + guidance_scale * (text - uncond)
+            return unet_apply(params, x, t, class_labels=prompt_embeds)
+
+        return model_fn
+
+    def __call__(self,
+                 prompt: Optional[str] = None,
+                 audio_length_in_s: Optional[float] = None,
+                 num_inference_steps: int = 200,
+                 guidance_scale: float = 2.0,
+                 negative_prompt: Optional[str] = None,
+                 num_waveforms_per_prompt: int = 1,
+                 eta: float = 0.0,
+                 key: Optional[jax.Array] = None,
+                 latents: Optional[jax.Array] = None,
+                 prompt_embeds: Optional[jax.Array] = None,
+                 measurement: Optional[jax.Array] = None,
+                 ip_guidance_rate: float = 1.0,
+                 optim_outer_loop: int = 1,
+                 supervised_space: str = "mel_spectrogram",
+                 output_type: str = "np",
+                 return_losses: bool = False,
+                 **_ignored):
+        key = key if key is not None else jax.random.key(0)
+        sr = self.vocoder_cfg.sampling_rate
+        hop = self.vocoder_cfg.hop_length
+        height, owl = compute_geometry(
+            audio_length_in_s if audio_length_in_s is not None else 5.0,
+            sr, hop, self.vae_scale_factor)
+
+        # conditioning
+        do_cfg = guidance_scale > 1.0
+        if prompt_embeds is None:
+            prompt_embeds = self.encode_prompt(prompt, negative_prompt, do_cfg)
+        if not isinstance(prompt_embeds, tuple):  # AudioLDM2 passes a stream tuple
+            prompt_embeds = jnp.asarray(prompt_embeds, self.dtype)
+
+        # latents: width axis is the mel-bin axis (model_in_dim)
+        batch = num_waveforms_per_prompt
+        key, lat_key, scan_key = jax.random.split(key, 3)
+        if latents is None:
+            latents = prepare_latents(lat_key, batch, self.unet_cfg.in_channels,
+                                      height, self.vocoder_cfg.model_in_dim,
+                                      self.vae_scale_factor, self.dtype)
+
+        timesteps = jnp.asarray(self.schedule.timesteps(num_inference_steps))
+        cfg = SamplerConfig(name=self.scheduler_name, eta=eta,
+                            ip_guidance_rate=ip_guidance_rate,
+                            num_inference_steps=num_inference_steps)
+
+        needs_guidance = self.scheduler_name not in ("ddim",)
+        if needs_guidance and measurement is None:
+            raise ValueError(
+                f"scheduler '{self.scheduler_name}' requires a measurement")
+        if measurement is not None:
+            measurement = jnp.asarray(measurement)
+
+        # one jitted program per static config; measurement and prompt embeds are
+        # traced arguments, so looping over dataset files (run.py:264) reuses the
+        # same compiled scan instead of recompiling per file
+        static_key = (self.scheduler_name, num_inference_steps, eta,
+                      ip_guidance_rate, guidance_scale, supervised_space, owl,
+                      needs_guidance, self.scheduler_name == "ditto")
+
+        if self.scheduler_name == "ditto":
+            if static_key not in self._denoise_cache:
+                def loss_of_init(init_lat, k, meas, pembeds):
+                    model_fn = self._make_model_fn(pembeds, guidance_scale)
+                    loss_fn = self.make_loss_fn(meas, owl, supervised_space)
+                    step_fn = make_step_fn(self.schedule, cfg, loss_fn)
+                    final, losses = run_denoise_scan(step_fn, model_fn, init_lat,
+                                                     timesteps, k, remat=True)
+                    return losses[-1], final
+
+                self._denoise_cache[static_key] = jax.jit(
+                    jax.value_and_grad(loss_of_init, has_aux=True))
+            grad_fn = self._denoise_cache[static_key]
+            lat = latents
+            for _ in range(optim_outer_loop):
+                (loss, final), grad = grad_fn(lat, scan_key, measurement,
+                                              prompt_embeds)
+                lat = lat - ip_guidance_rate * grad
+            losses = jnp.asarray([loss])
+        else:
+            if static_key not in self._denoise_cache:
+                if needs_guidance:
+                    def run(lat, k, meas, pembeds):
+                        model_fn = self._make_model_fn(pembeds, guidance_scale)
+                        loss_fn = self.make_loss_fn(meas, owl, supervised_space)
+                        step_fn = make_step_fn(self.schedule, cfg, loss_fn)
+                        return run_denoise_scan(step_fn, model_fn, lat,
+                                                timesteps, k)
+                else:
+                    def run(lat, k, meas, pembeds):
+                        model_fn = self._make_model_fn(pembeds, guidance_scale)
+                        step_fn = make_step_fn(self.schedule, cfg, None)
+                        return run_denoise_scan(step_fn, model_fn, lat,
+                                                timesteps, k)
+                self._denoise_cache[static_key] = jax.jit(run)
+            run_jit = self._denoise_cache[static_key]
+            final, losses = denoise_with_nan_retry(
+                lambda lat, k: run_jit(lat, k, measurement, prompt_embeds),
+                latents, scan_key)
+
+        if output_type == "latent":
+            return AudioPipelineOutput(audios=np.asarray(final))
+
+        mel = self.decode_mel(final)
+        audio = self.mel_to_waveform(mel)
+        audio = np.asarray(audio[:, :owl], np.float32)
+        out = AudioPipelineOutput(audios=audio)
+        if return_losses:
+            return out, np.asarray(losses)
+        return out
+
+    # ------------------------------------------------------------- factories
+    @classmethod
+    def tiny(cls, scheduler_name: str = "ddim", operator=None, seed: int = 0):
+        """Random tiny-weight pipeline with the real model *structure* — the fake
+        backend for CPU tests (SURVEY.md section 4 plan item b)."""
+        unet_cfg = tiny_unet_config()
+        vae_cfg = tiny_vae_config()
+        voc_cfg = tiny_hifigan_config()
+        txt_cfg = tiny_clap_text_config()
+
+        k = jax.random.key(seed)
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        unet = UNet2DConditionModel(unet_cfg)
+        vae = AutoencoderKL(vae_cfg)
+        voc = SpeechT5HifiGan(voc_cfg)
+        txt = ClapTextModelWithProjection(txt_cfg)
+
+        height = 40  # tiny latent time axis for 5 s would be 500; keep tests fast
+        lat = jnp.zeros((1, unet_cfg.in_channels, height // vae_cfg.scale_factor,
+                         voc_cfg.model_in_dim // vae_cfg.scale_factor))
+        unet_params = unet.init(
+            k1, lat, jnp.asarray([0]),
+            class_labels=jnp.zeros((1, unet_cfg.projection_class_embeddings_input_dim)))
+        mel = jnp.zeros((1, 1, height, voc_cfg.model_in_dim))
+        vae_params = vae.init(k2, mel)
+        voc_params = voc.init(k3, jnp.zeros((1, height, voc_cfg.model_in_dim)))
+        txt_params = txt.init(k4, jnp.zeros((1, 8), jnp.int32))
+
+        def byte_tokenizer(texts, maxlen=16):
+            ids = np.ones((len(texts), maxlen), np.int32)  # pad id 1
+            mask = np.zeros((len(texts), maxlen), np.int32)
+            for i, t in enumerate(texts):
+                b = list(t.encode("utf-8"))[: maxlen - 2]
+                row = [0] + [2 + (c % 250) for c in b] + [2]
+                ids[i, :len(row)] = row
+                mask[i, :len(row)] = 1
+            return ids, mask
+
+        return cls(unet_cfg=unet_cfg, vae_cfg=vae_cfg, vocoder_cfg=voc_cfg,
+                   text_cfg=txt_cfg, unet_params=unet_params,
+                   vae_params=vae_params, vocoder_params=voc_params,
+                   text_params=txt_params,
+                   scheduler_name=scheduler_name,
+                   operator=operator if operator is not None else IdentityOperator(),
+                   tokenizer=byte_tokenizer)

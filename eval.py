@@ -1,0 +1,73 @@
+"""Evaluation CLI — drop-in surface of the reference's eval.py (eval.py:16-33):
+`python eval.py -gt DIR -r DIR` computes FAD / KL / LSD / MSE between a
+ground-truth directory and a reconstruction directory, with fadtk-style embedding
+caching, and prints a score table (reference eval.py:150-163)."""
+
+from argparse import ArgumentParser
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_arguments():
+    p = ArgumentParser()
+    p.add_argument("-gt", "--ground_truth_dir", type=str, required=True)
+    p.add_argument("-r", "--recon_dir", type=str, required=True)
+    p.add_argument("--embedding", type=str, default="mfcc-stack",
+                   help="embedding model for FAD/KL (offline default: mfcc-stack)")
+    p.add_argument("--fad_inf", action="store_true",
+                   help="also compute FAD-inf extrapolation")
+    p.add_argument("--individual", type=str, default=None,
+                   help="write per-song FAD CSV to this path")
+    return p.parse_args()
+
+
+def load_dir(d):
+    from diffmusic_tpu.data import read_wav
+    waves = []
+    for f in sorted(Path(d).glob("*.wav")):
+        wav, sr = read_wav(f)
+        waves.append(wav.mean(axis=0))
+    return waves
+
+
+def main():
+    args = parse_arguments()
+    from diffmusic_tpu.fadtk import FADEngine
+    from diffmusic_tpu.metrics import (FrechetAudioDistance,
+                                       KullbackLeiblerDivergence,
+                                       LogSpectralDistance, MeanSquaredError,
+                                       get_embedding_model)
+
+    gt = load_dir(args.ground_truth_dir)
+    recon = load_dir(args.recon_dir)
+    if not gt or not recon:
+        raise SystemExit("no .wav files found in one of the directories")
+
+    model = get_embedding_model(args.embedding)
+    engine = FADEngine(model=model)
+
+    scores = {}
+    scores[f"FAD ({model.name})"] = engine.score(args.ground_truth_dir,
+                                                 args.recon_dir)
+    if args.fad_inf:
+        fad_inf, slope = engine.score_inf(args.ground_truth_dir, args.recon_dir)
+        scores[f"FAD-inf ({model.name})"] = fad_inf
+    if args.individual:
+        engine.score_individual(args.ground_truth_dir, args.recon_dir,
+                                args.individual)
+
+    scores["KL"] = KullbackLeiblerDivergence(embed_fn=model).score(gt, recon)
+    scores["LSD"] = LogSpectralDistance().score(gt, recon)
+    scores["MSE"] = MeanSquaredError().score(gt, recon)
+
+    width = max(len(k) for k in scores)
+    print("=" * (width + 20))
+    for k, v in scores.items():
+        print(f"| {k:<{width}} : {v:.6f}")
+    print("=" * (width + 20))
+    return scores
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,236 @@
+"""DiffMusic-TPU inference CLI — drop-in compatible with the reference's run.py
+flag surface (reference run.py:39-142) and output tree (run.py:153-155):
+outputs/{model}/{data}/{scheduler}/{task}/{wav,mel}_{input,recon,label}.
+
+Extra flags beyond the reference: --checkpoint_dir (local converted weights; this
+environment has no hub egress) and --tiny (random tiny weights smoke mode).
+"""
+
+import os
+from argparse import ArgumentParser, Namespace
+from pathlib import Path
+
+import numpy as np
+
+from diffmusic_tpu.constants import (
+    CONFIG_PATH, MOISES, MUSICCAPS, AUDIOLDM2, MUSICLDM,
+    MUSIC_GENERATION, MUSIC_INPAINTING, SUPER_RESOLUTION,
+    PHASE_RETRIEVAL, MUSIC_DEREVERBERATION, STYLE_GUIDANCE,
+    DDIM, DPS, MPGD, DSG, DIFFMUSIC, DITTO,
+    NULL_TEXT, TAG, CLAP, WAV_FORM, MEL_SPECTROGRAM,
+)
+
+
+def parse_arguments() -> Namespace:
+    parser = ArgumentParser()
+    parser.add_argument("-c", "--config_name", type=str, default=DIFFMUSIC,
+                        choices=[DDIM, DPS, MPGD, DSG, DITTO, DIFFMUSIC])
+    parser.add_argument("-t", "--task", type=str, default=MUSIC_INPAINTING,
+                        choices=[MUSIC_GENERATION, MUSIC_INPAINTING,
+                                 SUPER_RESOLUTION, PHASE_RETRIEVAL,
+                                 MUSIC_DEREVERBERATION, STYLE_GUIDANCE])
+    parser.add_argument("-d", "--datasets", type=str, default=MOISES,
+                        choices=[MOISES, MUSICCAPS])
+    parser.add_argument("-m", "--model", type=str, default=AUDIOLDM2,
+                        choices=[AUDIOLDM2, MUSICLDM])
+    parser.add_argument("--mask_type", type=str, default="box",
+                        choices=["box", "random", "periodic"])
+    parser.add_argument("--supervised_space", type=str, default=MEL_SPECTROGRAM,
+                        choices=[WAV_FORM, MEL_SPECTROGRAM])
+    parser.add_argument("--prompt_type", type=str, default=NULL_TEXT,
+                        choices=[NULL_TEXT, TAG, CLAP])
+    parser.add_argument("-p", "--prompt", type=str, default="")
+    parser.add_argument("-np", "--negative_prompt", type=str, default=None)
+    parser.add_argument("--transcription", type=str, required=False, default="",
+                        help="Transcription for Text-to-Speech")
+    parser.add_argument("--show_progress", action="store_true")
+    # TPU-build extras
+    parser.add_argument("--checkpoint_dir", type=str, default=None,
+                        help="local converted-weights dir (no hub egress here)")
+    parser.add_argument("--tiny", action="store_true",
+                        help="random tiny-weights smoke mode (CPU-friendly)")
+    parser.add_argument("--num_inference_steps", type=int, default=None,
+                        help="override config num_inference_steps")
+    return parser.parse_args()
+
+
+def build_operator(args, config, noiser):
+    """Task -> operator construction (reference run.py:159-214), with the
+    style_guidance path actually wired instead of raising."""
+    from diffmusic_tpu.inverse_problem import (
+        IdentityOperator, MusicInpaintingOperator, PhaseRetrievalOperator,
+        SuperResolutionOperator, MusicDereverberationOperator,
+        StyleGuidanceOperator,
+    )
+    task = args.task
+    downsample_scale = 1
+    if task == MUSIC_GENERATION:
+        op = IdentityOperator(sample_rate=config.data.sample_rate)
+    elif task == MUSIC_INPAINTING:
+        op = MusicInpaintingOperator(
+            audio_length_in_s=config.model.pipe.audio_length_in_s,
+            sample_rate=config.data.sample_rate,
+            mask_type=args.mask_type,
+            start_inpainting_s=config.data.start_inpainting_s - config.data.start_s,
+            end_inpainting_s=config.data.end_inpainting_s - config.data.start_s,
+            mask_percentage=0.3, interval_s=1, mask_duration_s=0.1,
+            noiser=noiser)
+    elif task == SUPER_RESOLUTION:
+        downsample_scale = 2
+        op = SuperResolutionOperator(sample_rate=config.data.sample_rate,
+                                     scale=downsample_scale, noiser=noiser)
+    elif task == PHASE_RETRIEVAL:
+        op = PhaseRetrievalOperator(n_fft=config.data.n_fft,
+                                    hop_length=config.data.hop_length,
+                                    win_length=config.data.win_length,
+                                    noiser=noiser)
+    elif task == MUSIC_DEREVERBERATION:
+        op = MusicDereverberationOperator(ir_length=5000, decay_factor=0.99,
+                                          noiser=noiser)
+    elif task == STYLE_GUIDANCE:
+        op = IdentityOperator(sample_rate=config.data.sample_rate)
+    else:
+        raise ValueError(f"Unknown task: {task}")
+    return op, downsample_scale
+
+
+def load_pipeline(args, config, operator):
+    from diffmusic_tpu.pipelines import get_pipeline
+    from diffmusic_tpu.samplers import DiffusionSchedule
+
+    cls = get_pipeline(pip_name=config.model.name)
+    sched_cfg = config.model.scheduler
+    schedule = DiffusionSchedule(
+        num_train_timesteps=sched_cfg.num_train_timesteps,
+        beta_start=sched_cfg.beta_start, beta_end=sched_cfg.beta_end,
+        beta_schedule=sched_cfg.beta_schedule,
+        set_alpha_to_one=sched_cfg.set_alpha_to_one,
+        steps_offset=sched_cfg.steps_offset,
+        timestep_spacing=sched_cfg.timestep_spacing)
+    if args.tiny:
+        pipe = cls.tiny(scheduler_name=config.name, operator=operator)
+        pipe.schedule = schedule
+        return pipe
+    if args.checkpoint_dir:
+        return cls.from_pretrained(args.checkpoint_dir,
+                                   scheduler_name=config.name,
+                                   operator=operator, schedule=schedule)
+    raise SystemExit(
+        "This environment has no hub egress: pass --checkpoint_dir with locally "
+        "converted weights, or --tiny for the random-weights smoke mode.")
+
+
+def main() -> None:
+    args = parse_arguments()
+    import jax
+    import jax.numpy as jnp
+
+    from diffmusic_tpu.config import compose
+    from diffmusic_tpu.inverse_problem import get_noiser
+    from diffmusic_tpu.ops.mel import Wav2Mel
+    from diffmusic_tpu.data import get_dataset, get_dataloader, write_wav
+    from diffmusic_tpu.pipelines import save_mel_spectrogram
+
+    config = compose(config_name=args.config_name, overrides=[
+        f"data={args.datasets}", f"model={args.model}"])
+    if args.num_inference_steps is not None:
+        config.model.pipe.num_inference_steps = args.num_inference_steps
+
+    output_dir = Path("outputs", config.model.name, config.data.name,
+                      args.config_name, args.task)
+    for d in ["wav_input", "wav_recon", "wav_label",
+              "mel_input", "mel_recon", "mel_label"]:
+        os.makedirs(Path(output_dir, d), exist_ok=True)
+
+    noiser = get_noiser(**config.inverse_problem.noise)
+    operator, downsample_scale = build_operator(args, config, noiser)
+    pipe = load_pipeline(args, config, operator)
+
+    audio_length_in_s = config.model.pipe.audio_length_in_s
+    sr = config.data.sample_rate
+    wav2mel = Wav2Mel(sample_rate=sr, n_fft=config.data.n_fft,
+                      hop_length=config.data.hop_length,
+                      win_length=config.data.win_length,
+                      n_mels=config.data.n_mels, power=config.data.power)
+
+    dataset = get_dataset(
+        name=config.data.name, type=config.data.type, root=config.data.root,
+        sample_rate=sr, audio_length_in_s=audio_length_in_s,
+        start_s=config.data.start_s, end_s=config.data.end_s, transforms=None)
+    loader = get_dataloader(dataset, batch_size=1, num_workers=0, train=False)
+
+    print("=" * 50)
+    print(f"| Model             : {config.model.name}")
+    print(f"| Data              : {config.data.name}")
+    print(f"| Task              : {args.task}")
+    print(f"| Scheduler         : {args.config_name}")
+    print(f"| Supervised Space  : {args.supervised_space}")
+    print(f"| Prompt Type       : {args.prompt_type}")
+    print(f"| Prompt            : '{args.prompt}'")
+    print(f"| Show Progress     : {args.show_progress}")
+    print(f"| Number of Samples : {len(loader)}")
+    print("=" * 50)
+
+    key = jax.random.key(0)
+    mel_frames = int(audio_length_in_s * 100)
+
+    for i, (data, file_name) in enumerate(loader, start=1):
+        print(f"=====> Inference for audio {i}")
+        recon_path = Path(output_dir, "wav_recon", file_name)
+        if recon_path.exists():
+            print(f"File {file_name} already exists. Skipping.")
+            continue
+
+        gt_wave = jnp.asarray(data)
+        gt_mel = np.asarray(wav2mel(gt_wave))[:, :, :mel_frames]
+        save_mel_spectrogram(gt_mel.transpose(0, 2, 1),
+                             Path(output_dir, "mel_label",
+                                  file_name).with_suffix(".png"), sr)
+
+        if args.task != PHASE_RETRIEVAL:
+            key, mkey = jax.random.split(key)
+            ref_wave = operator.forward(gt_wave, mkey)
+            ref_mel = np.asarray(wav2mel(ref_wave))[:, :, :mel_frames]
+            save_mel_spectrogram(ref_mel.transpose(0, 2, 1),
+                                 Path(output_dir, "mel_input",
+                                      file_name).with_suffix(".png"),
+                                 sr // downsample_scale)
+            measurement = ref_wave
+        else:
+            key, mkey = jax.random.split(key)
+            measurement = operator.forward(gt_wave, mkey)
+            ref_wave = None
+
+        key, pkey = jax.random.split(key)
+        out = pipe(
+            latents=None,
+            prompt=args.prompt,
+            negative_prompt=args.negative_prompt,
+            measurement=measurement,
+            eta=config.scheduler.eta,
+            ip_guidance_rate=config.scheduler.ip_guidance_rate,
+            optim_prompt_learning_rate=config.scheduler.optim_prompt_learning_rate,
+            key=pkey,
+            optim_prompt=config.scheduler.optim_prompt,
+            optim_outer_loop=config.scheduler.optim_outer_loop,
+            show_progress=args.show_progress,
+            prompt_type=args.prompt_type,
+            supervised_space=args.supervised_space,
+            **config.model.pipe,
+        )
+        audio = out.audios
+
+        write_wav(Path(output_dir, "wav_label", file_name), np.asarray(gt_wave)[0], sr)
+        if ref_wave is not None:
+            write_wav(Path(output_dir, "wav_input", file_name),
+                      np.asarray(ref_wave)[0], sr // downsample_scale)
+
+        pred_mel = np.asarray(wav2mel(jnp.asarray(audio)))[:, :, :mel_frames]
+        save_mel_spectrogram(pred_mel.transpose(0, 2, 1),
+                             Path(output_dir, "mel_recon",
+                                  file_name).with_suffix(".png"), sr)
+        write_wav(recon_path, audio[0], sr)
+
+
+if __name__ == "__main__":
+    main()

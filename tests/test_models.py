@@ -1,0 +1,210 @@
+"""Model parity vs torch/transformers (tiny random-init) + structural tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from diffmusic_tpu.models.configs import (tiny_clap_text_config,
+                                          tiny_hifigan_config, tiny_unet_config,
+                                          tiny_vae_config)
+from diffmusic_tpu.models.hifigan import SpeechT5HifiGan
+from diffmusic_tpu.models.clap import ClapTextModelWithProjection
+from diffmusic_tpu.models.unet import UNet2DConditionModel
+from diffmusic_tpu.models.vae import AutoencoderKL
+from diffmusic_tpu.models import convert
+
+
+class TestHiFiGANParity:
+    @pytest.fixture(scope="class")
+    def torch_model(self):
+        from transformers import SpeechT5HifiGan as TorchHifi, SpeechT5HifiGanConfig
+        tc = SpeechT5HifiGanConfig(
+            model_in_dim=64, sampling_rate=16000, upsample_initial_channel=32,
+            upsample_rates=[5, 4, 2, 2, 2], upsample_kernel_sizes=[16, 16, 8, 4, 4],
+            resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3]],
+            normalize_before=False)
+        torch.manual_seed(0)
+        return TorchHifi(tc).eval()
+
+    def test_forward_parity(self, torch_model, rng):
+        x = torch.from_numpy(rng.standard_normal((2, 25, 64)).astype(np.float32))
+        with torch.no_grad():
+            want = torch_model(x).numpy()
+        cfg = tiny_hifigan_config()
+        params = convert.convert_hifigan(torch_model.state_dict(), cfg)
+        got = np.asarray(SpeechT5HifiGan(cfg).apply(params, jnp.asarray(x.numpy())))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_vocoder_grad(self, torch_model, rng):
+        cfg = tiny_hifigan_config()
+        params = convert.convert_hifigan(torch_model.state_dict(), cfg)
+        mel = jnp.asarray(rng.standard_normal((1, 10, 64)).astype(np.float32))
+        g = jax.grad(lambda m: jnp.sum(
+            SpeechT5HifiGan(cfg).apply(params, m) ** 2))(mel)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestClapParity:
+    def test_text_embeds_parity(self, rng):
+        from transformers import (ClapTextModelWithProjection as TorchClap,
+                                  ClapTextConfig as TCfg)
+        tc = TCfg(vocab_size=256, hidden_size=32, num_hidden_layers=2,
+                  num_attention_heads=4, intermediate_size=64,
+                  max_position_embeddings=64, projection_dim=32, pad_token_id=1)
+        torch.manual_seed(0)
+        tm = TorchClap(tc).eval()
+        ids = torch.randint(2, 256, (2, 10))
+        am = torch.ones(2, 10, dtype=torch.long)
+        am[1, 7:] = 0
+        ids[1, 7:] = 1
+        with torch.no_grad():
+            want = tm(input_ids=ids, attention_mask=am).text_embeds.numpy()
+        cfg = tiny_clap_text_config()
+        params = convert.convert_clap_text(tm.state_dict(), cfg)
+        got = np.asarray(ClapTextModelWithProjection(cfg).apply(
+            params, jnp.asarray(ids.numpy()), jnp.asarray(am.numpy())))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestUNet:
+    def test_musicldm_variant_shapes_and_grad(self, rng):
+        cfg = tiny_unet_config()
+        m = UNet2DConditionModel(cfg)
+        x = jnp.asarray(rng.standard_normal((2, 8, 16, 16)).astype(np.float32))
+        cls = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
+        params = m.init(jax.random.key(0), x, jnp.asarray([1, 2]), class_labels=cls)
+        y = m.apply(params, x, jnp.asarray([500, 500]), class_labels=cls)
+        assert y.shape == x.shape
+        g = jax.grad(lambda xx: jnp.sum(
+            m.apply(params, xx, jnp.asarray([500, 500]), class_labels=cls) ** 2))(x)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_audioldm2_dual_stream(self, rng):
+        cfg = tiny_unet_config(cross_attention_dims=(24, 40))
+        m = UNet2DConditionModel(cfg)
+        x = jnp.asarray(rng.standard_normal((1, 8, 16, 16)).astype(np.float32))
+        ehs = jnp.asarray(rng.standard_normal((1, 8, 24)).astype(np.float32))
+        ehs1 = jnp.asarray(rng.standard_normal((1, 5, 40)).astype(np.float32))
+        p = m.init(jax.random.key(0), x, jnp.asarray([1]),
+                   encoder_hidden_states=ehs, encoder_hidden_states_1=ehs1)
+        y = m.apply(p, x, jnp.asarray([3]), encoder_hidden_states=ehs,
+                    encoder_hidden_states_1=ehs1)
+        assert y.shape == x.shape
+        # conditioning must matter: different contexts -> different output
+        y2 = m.apply(p, x, jnp.asarray([3]), encoder_hidden_states=ehs + 1.0,
+                     encoder_hidden_states_1=ehs1)
+        assert np.abs(np.asarray(y - y2)).max() > 1e-6
+
+    def test_class_conditioning_matters(self, rng):
+        cfg = tiny_unet_config()
+        m = UNet2DConditionModel(cfg)
+        x = jnp.asarray(rng.standard_normal((1, 8, 16, 16)).astype(np.float32))
+        c1 = jnp.zeros((1, 32))
+        c2 = jnp.ones((1, 32))
+        params = m.init(jax.random.key(0), x, jnp.asarray([1]), class_labels=c1)
+        y1 = m.apply(params, x, jnp.asarray([10]), class_labels=c1)
+        y2 = m.apply(params, x, jnp.asarray([10]), class_labels=c2)
+        assert np.abs(np.asarray(y1 - y2)).max() > 1e-6
+
+
+class TestT5Parity:
+    def test_encoder_parity(self, rng):
+        from transformers import T5EncoderModel as TorchT5, T5Config as TT5
+        from diffmusic_tpu.models.t5 import T5EncoderModel
+        from diffmusic_tpu.models.configs import tiny_t5_config
+        tc = TT5(vocab_size=256, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+                 num_heads=4, feed_forward_proj="gated-gelu", dropout_rate=0.0)
+        torch.manual_seed(0)
+        tm = TorchT5(tc).eval()
+        ids = torch.randint(0, 256, (2, 9))
+        am = torch.ones(2, 9, dtype=torch.long)
+        am[1, 6:] = 0
+        with torch.no_grad():
+            want = tm(input_ids=ids, attention_mask=am).last_hidden_state.numpy()
+        cfg = tiny_t5_config()
+        got = np.asarray(T5EncoderModel(cfg).apply(
+            convert.convert_t5_encoder(tm.state_dict(), cfg),
+            jnp.asarray(ids.numpy()), jnp.asarray(am.numpy())))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestGPT2Parity:
+    def test_hidden_states_parity(self, rng):
+        from transformers import GPT2Model as TorchGPT2, GPT2Config as TG2
+        from diffmusic_tpu.models.gpt2 import GPT2Model
+        from diffmusic_tpu.models.configs import tiny_gpt2_config
+        gc = TG2(vocab_size=256, n_positions=64, n_embd=32, n_layer=2, n_head=4,
+                 resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0)
+        torch.manual_seed(1)
+        gm = TorchGPT2(gc).eval()
+        embeds = torch.randn(2, 7, 32)
+        with torch.no_grad():
+            want = gm(inputs_embeds=embeds).last_hidden_state.numpy()
+        cfg = tiny_gpt2_config()
+        got = np.asarray(GPT2Model(cfg).apply(
+            convert.convert_gpt2(gm.state_dict(), cfg),
+            jnp.asarray(embeds.numpy())))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_generate_hidden_states_matches_reference_loop(self, rng):
+        """The static-shape embedding-space generation must equal the reference's
+        grow-and-recompute loop (plpeline_audioldm2.py:305-318)."""
+        from diffmusic_tpu.models.gpt2 import GPT2Model, generate_hidden_states
+        from diffmusic_tpu.models.configs import tiny_gpt2_config
+        cfg = tiny_gpt2_config()
+        model = GPT2Model(cfg)
+        x0 = jnp.asarray(rng.standard_normal((1, 5, 32)).astype(np.float32))
+        params = model.init(jax.random.key(0), x0)
+
+        got = generate_hidden_states(model, params, x0, max_new_tokens=4)
+
+        # reference-style dynamic loop
+        seq = x0
+        for _ in range(4):
+            hidden = model.apply(params, seq)
+            seq = jnp.concatenate([seq, hidden[:, -1:, :]], axis=1)
+        want = seq[:, -4:, :]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestProjection:
+    def test_special_token_wrapping(self, rng):
+        from diffmusic_tpu.models.projection import AudioLDM2ProjectionModel
+        from diffmusic_tpu.models.configs import tiny_projection_config
+        cfg = tiny_projection_config()
+        m = AudioLDM2ProjectionModel(cfg)
+        h0 = jnp.asarray(rng.standard_normal((2, 1, 16)).astype(np.float32))
+        h1 = jnp.asarray(rng.standard_normal((2, 4, 32)).astype(np.float32))
+        m0 = jnp.ones((2, 1), jnp.int32)
+        m1 = jnp.ones((2, 4), jnp.int32)
+        params = m.init(jax.random.key(0), h0, h1, m0, m1)
+        hidden, mask = m.apply(params, h0, h1, m0, m1)
+        # (1 + sos/eos) + (4 + sos/eos) = 3 + 6 tokens
+        assert hidden.shape == (2, 9, cfg.langauge_model_dim)
+        assert mask.shape == (2, 9)
+        assert np.asarray(mask).all()
+
+
+class TestVAE:
+    def test_roundtrip_shapes(self, rng):
+        cfg = tiny_vae_config()
+        vae = AutoencoderKL(cfg)
+        mel = jnp.asarray(rng.standard_normal((1, 1, 32, 64)).astype(np.float32))
+        params = vae.init(jax.random.key(0), mel)
+        z = vae.apply(params, mel, method=AutoencoderKL.encode)
+        assert z.shape == (1, 8, 16, 32)
+        dec = vae.apply(params, z, method=AutoencoderKL.decode)
+        assert dec.shape == mel.shape
+
+    def test_stochastic_encode(self, rng):
+        cfg = tiny_vae_config()
+        vae = AutoencoderKL(cfg)
+        mel = jnp.asarray(rng.standard_normal((1, 1, 32, 64)).astype(np.float32))
+        params = vae.init(jax.random.key(0), mel)
+        z1 = vae.apply(params, mel, jax.random.key(1), method=AutoencoderKL.encode)
+        z2 = vae.apply(params, mel, jax.random.key(2), method=AutoencoderKL.encode)
+        assert np.abs(np.asarray(z1 - z2)).max() > 1e-8

@@ -1,0 +1,57 @@
+"""AudioLDM2 pipeline tests on the tiny fake backend (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffmusic_tpu.inverse_problem import MusicInpaintingOperator
+from diffmusic_tpu.pipelines import get_pipeline
+
+AudioLDM2Pipeline = get_pipeline("audioldm2")
+
+
+@pytest.fixture(scope="module")
+def inpaint_op():
+    return MusicInpaintingOperator(audio_length_in_s=0.4, sample_rate=16000,
+                                   mask_type="box", start_inpainting_s=0.15,
+                                   end_inpainting_s=0.25)
+
+
+@pytest.fixture(scope="module")
+def measurement(inpaint_op):
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((1, 6400)).astype(np.float32) * 0.1)
+    return inpaint_op.forward(wav)
+
+
+class TestAudioLDM2Tiny:
+    def test_ddim_generation(self):
+        pipe = AudioLDM2Pipeline.tiny("ddim")
+        out = pipe(prompt="piano", audio_length_in_s=0.4, num_inference_steps=3,
+                   guidance_scale=3.5, key=jax.random.key(0))
+        assert out.audios.shape == (1, 6400)
+        assert np.isfinite(out.audios).all()
+
+    def test_prompt_changes_output(self):
+        pipe = AudioLDM2Pipeline.tiny("ddim")
+        a = pipe(prompt="piano", audio_length_in_s=0.4, num_inference_steps=2,
+                 key=jax.random.key(0)).audios
+        b = pipe(prompt="violin solo", audio_length_in_s=0.4,
+                 num_inference_steps=2, key=jax.random.key(0)).audios
+        assert np.abs(a - b).max() > 1e-8
+
+    def test_dps_guided(self, inpaint_op, measurement):
+        pipe = AudioLDM2Pipeline.tiny("dps", operator=inpaint_op)
+        out, losses = pipe(prompt="x", audio_length_in_s=0.4,
+                           num_inference_steps=3, eta=0.0,
+                           ip_guidance_rate=5e-4, measurement=measurement,
+                           return_losses=True, key=jax.random.key(1))
+        assert out.audios.shape == (1, 6400)
+        assert np.isfinite(losses).all()
+
+    def test_clap_prompt_type_requires_audio_tower(self, measurement):
+        pipe = AudioLDM2Pipeline.tiny("ddim")
+        with pytest.raises(ValueError, match="clap"):
+            pipe(prompt="x", audio_length_in_s=0.4, num_inference_steps=2,
+                 prompt_type="clap", measurement=measurement)

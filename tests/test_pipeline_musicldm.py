@@ -1,0 +1,94 @@
+"""End-to-end MusicLDM pipeline tests on the tiny fake backend (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffmusic_tpu.inverse_problem import MusicInpaintingOperator
+from diffmusic_tpu.pipelines import MusicLDMPipeline
+
+
+@pytest.fixture(scope="module")
+def inpaint_op():
+    return MusicInpaintingOperator(audio_length_in_s=0.4, sample_rate=16000,
+                                   mask_type="box", start_inpainting_s=0.15,
+                                   end_inpainting_s=0.25)
+
+
+@pytest.fixture(scope="module")
+def measurement(inpaint_op):
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((1, 6400)).astype(np.float32) * 0.1)
+    return inpaint_op.forward(wav)
+
+
+class TestMusicLDMTiny:
+    def test_ddim_generation(self):
+        pipe = MusicLDMPipeline.tiny("ddim")
+        out = pipe(prompt="techno", audio_length_in_s=0.4, num_inference_steps=4,
+                   guidance_scale=2.0, key=jax.random.key(0))
+        assert out.audios.shape == (1, 6400)
+        assert np.isfinite(out.audios).all()
+
+    def test_ddim_latent_output(self):
+        pipe = MusicLDMPipeline.tiny("ddim")
+        out = pipe(prompt="", audio_length_in_s=0.4, num_inference_steps=2,
+                   output_type="latent", key=jax.random.key(0))
+        assert out.audios.shape == (1, 8, 20, 32)
+
+    def test_ddim_deterministic_given_key(self):
+        pipe = MusicLDMPipeline.tiny("ddim")
+        a = pipe(prompt="x", audio_length_in_s=0.4, num_inference_steps=2,
+                 key=jax.random.key(7)).audios
+        b = pipe(prompt="x", audio_length_in_s=0.4, num_inference_steps=2,
+                 key=jax.random.key(7)).audios
+        np.testing.assert_array_equal(a, b)
+
+    def test_injected_latents_respected(self):
+        pipe = MusicLDMPipeline.tiny("ddim")
+        lat = jnp.zeros((1, 8, 20, 32))
+        out = pipe(prompt="", audio_length_in_s=0.4, num_inference_steps=2,
+                   latents=lat, key=jax.random.key(0))
+        out2 = pipe(prompt="", audio_length_in_s=0.4, num_inference_steps=2,
+                    latents=lat, key=jax.random.key(1))
+        np.testing.assert_array_equal(out.audios, out2.audios)
+
+    @pytest.mark.parametrize("name,eta,rate", [
+        ("dps", 0.0, 0.0005), ("mpgd", 0.0, 0.005),
+        ("dsg", 1.0, 0.08), ("diffmusic", 1.0, 0.08),
+    ])
+    def test_guided_inpainting(self, inpaint_op, measurement, name, eta, rate):
+        pipe = MusicLDMPipeline.tiny(name, operator=inpaint_op)
+        out, losses = pipe(prompt="", audio_length_in_s=0.4,
+                           num_inference_steps=4, eta=eta,
+                           ip_guidance_rate=rate, measurement=measurement,
+                           return_losses=True, key=jax.random.key(1))
+        assert out.audios.shape == (1, 6400)
+        assert np.isfinite(out.audios).all()
+        assert np.isfinite(losses).all()
+
+    def test_guided_requires_measurement(self, inpaint_op):
+        pipe = MusicLDMPipeline.tiny("dps", operator=inpaint_op)
+        with pytest.raises(ValueError, match="measurement"):
+            pipe(prompt="", audio_length_in_s=0.4, num_inference_steps=2)
+
+    def test_ditto_outer_loop_reduces_loss(self, inpaint_op, measurement):
+        pipe = MusicLDMPipeline.tiny("ditto", operator=inpaint_op)
+        out = pipe(prompt="", audio_length_in_s=0.4, num_inference_steps=2,
+                   eta=1.0, ip_guidance_rate=0.5, optim_outer_loop=2,
+                   measurement=measurement, key=jax.random.key(3))
+        assert np.isfinite(out.audios).all()
+
+    def test_wav_form_supervision(self, inpaint_op, measurement):
+        pipe = MusicLDMPipeline.tiny("diffmusic", operator=inpaint_op)
+        out = pipe(prompt="", audio_length_in_s=0.4, num_inference_steps=2,
+                   eta=1.0, ip_guidance_rate=0.08, measurement=measurement,
+                   supervised_space="wav_form", key=jax.random.key(4))
+        assert np.isfinite(out.audios).all()
+
+    def test_bad_supervised_space(self, inpaint_op, measurement):
+        pipe = MusicLDMPipeline.tiny("diffmusic", operator=inpaint_op)
+        with pytest.raises(ValueError, match="supervised_space"):
+            pipe(prompt="", audio_length_in_s=0.4, num_inference_steps=2,
+                 measurement=measurement, supervised_space="latent")
