@@ -183,7 +183,10 @@ class Upsample2D(nn.Module):
     out_channels: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_hw=None):
+        # out_hw: target spatial size; needed when the down path ceil-divided an
+        # odd size (e.g. 125 -> 63), mirroring diffusers' forward_upsample_size
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        th, tw = out_hw if out_hw is not None else (h * 2, w * 2)
+        x = jax.image.resize(x, (b, th, tw, c), method="nearest")
         return nn.Conv(self.out_channels, (3, 3), padding=1, name="conv")(x)

@@ -73,7 +73,10 @@ class UpBlock(nn.Module):
                     groups=self.cfg.norm_num_groups,
                     name=f"attn_{i}")(x, contexts, context_masks)
         if self.add_upsample:
-            x = Upsample2D(self.out_channels, name="upsample")(x)
+            # match the next skip's spatial size (odd sizes ceil-divide on the
+            # way down, so a plain 2x would overshoot)
+            out_hw = skips[-1].shape[1:3] if skips else None
+            x = Upsample2D(self.out_channels, name="upsample")(x, out_hw)
         return x
 
 

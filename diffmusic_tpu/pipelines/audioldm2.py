@@ -111,26 +111,18 @@ class AudioLDM2Pipeline(MusicLDMPipeline):
                 jnp.concatenate([nt5_mask, t5_mask], axis=0))
 
     # --------------------------------------------------------------- denoise
-    def _make_model_fn(self, prompt_embeds, guidance_scale: float):
+    def _apply_unet(self, prompt_embeds, x_in, t):
+        """Dual-stream conditioning: GPT-2 generated states + T5 sequence
+        (reference plpeline_audioldm2.py:1147-1154)."""
         generated, t5_seq, t5_mask = prompt_embeds
-        do_cfg = guidance_scale > 1.0
-        unet_apply = self.unet.apply
-        params = self.unet_params
+        return self.unet.apply(self.unet_params, x_in, t,
+                               encoder_hidden_states=generated,
+                               encoder_hidden_states_1=t5_seq,
+                               encoder_attention_mask_1=t5_mask)
 
-        def model_fn(x, t):
-            if do_cfg:
-                x_in = jnp.concatenate([x, x], axis=0)
-                eps = unet_apply(params, x_in, t,
-                                 encoder_hidden_states=generated,
-                                 encoder_hidden_states_1=t5_seq,
-                                 encoder_attention_mask_1=t5_mask)
-                uncond, text = jnp.split(eps, 2, axis=0)
-                return uncond + guidance_scale * (text - uncond)
-            return unet_apply(params, x, t, encoder_hidden_states=generated,
-                              encoder_hidden_states_1=t5_seq,
-                              encoder_attention_mask_1=t5_mask)
-
-        return model_fn
+    def _optim_prompt_split(self, prompt_embeds):
+        generated, t5_seq, t5_mask = prompt_embeds
+        return (generated, t5_seq), lambda d: (d[0], d[1], t5_mask)
 
     def __call__(self, prompt=None, measurement=None, prompt_type=None,
                  guidance_scale: float = 3.5, negative_prompt=None,

@@ -41,18 +41,31 @@ def prepare_latents(key, batch: int, channels: int, height: int, width: int,
     return jax.random.normal(key, shape, dtype)  # init_noise_sigma = 1 for DDIM
 
 
+def _progress_print(t, loss):
+    print(f"  t={int(t):4d}  distance: {float(loss):.6f}")
+
+
 def run_denoise_scan(step_fn, model_fn, latents, timesteps, key,
-                     remat: bool = False):
+                     remat: bool = False, progress: bool = False):
     """Scan `prev, x0, loss = step_fn(model_fn(x, t), t, x, key_t)` over timesteps.
 
     Returns (final_latents, per-step losses). The caller jits this (usually via a
     closed-over jitted wrapper) so the whole loop is one XLA program.
+
+    progress=True streams the per-step guidance loss to the host via
+    jax.debug.callback — the TPU equivalent of the reference's tqdm description
+    (pipeline_musicldm.py:761-763). jax.profiler scopes name the phases for
+    xprof traces.
     """
     def body(carry, tk):
         x, k = carry
         k, sub = jax.random.split(k)
-        eps = model_fn(x, tk)
-        prev, _x0, loss = step_fn(eps, tk, x, sub)
+        with jax.profiler.TraceAnnotation("unet_forward"):
+            eps = model_fn(x, tk)
+        with jax.profiler.TraceAnnotation("guided_step"):
+            prev, _x0, loss = step_fn(eps, tk, x, sub)
+        if progress:
+            jax.debug.callback(_progress_print, tk, loss, ordered=False)
         return (prev, k), loss
 
     if remat:

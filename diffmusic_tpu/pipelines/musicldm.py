@@ -120,20 +120,27 @@ class MusicLDMPipeline:
         return loss_fn
 
     # --------------------------------------------------------------- denoise
+    def _apply_unet(self, prompt_embeds, x_in, t):
+        """UNet conditioning signature; MusicLDM feeds CLAP embeds as class
+        labels (reference pipeline_musicldm.py:696-703)."""
+        return self.unet.apply(self.unet_params, x_in, t,
+                               class_labels=prompt_embeds)
+
+    def _eps_fn(self, prompt_embeds, x, t, guidance_scale: float):
+        """CFG-combined noise prediction as a function of the prompt embeds."""
+        if guidance_scale > 1.0:
+            x_in = jnp.concatenate([x, x], axis=0)
+            eps = self._apply_unet(prompt_embeds, x_in, t)
+            uncond, text = jnp.split(eps, 2, axis=0)
+            return uncond + guidance_scale * (text - uncond)
+        return self._apply_unet(prompt_embeds, x, t)
+
     def _make_model_fn(self, prompt_embeds, guidance_scale: float):
-        do_cfg = guidance_scale > 1.0
-        unet_apply = self.unet.apply
-        params = self.unet_params
+        return lambda x, t: self._eps_fn(prompt_embeds, x, t, guidance_scale)
 
-        def model_fn(x, t):
-            if do_cfg:
-                x_in = jnp.concatenate([x, x], axis=0)
-                eps = unet_apply(params, x_in, t, class_labels=prompt_embeds)
-                uncond, text = jnp.split(eps, 2, axis=0)
-                return uncond + guidance_scale * (text - uncond)
-            return unet_apply(params, x, t, class_labels=prompt_embeds)
-
-        return model_fn
+    def _optim_prompt_split(self, prompt_embeds):
+        """(differentiable part, rebuild fn) for prompt-embedding optimization."""
+        return prompt_embeds, lambda d: d
 
     def __call__(self,
                  prompt: Optional[str] = None,
@@ -152,6 +159,9 @@ class MusicLDMPipeline:
                  supervised_space: str = "mel_spectrogram",
                  output_type: str = "np",
                  return_losses: bool = False,
+                 optim_prompt: bool = False,
+                 optim_prompt_learning_rate: float = 1e-4,
+                 show_progress: bool = False,
                  **_ignored):
         key = key if key is not None else jax.random.key(0)
         sr = self.vocoder_cfg.sampling_rate
@@ -192,7 +202,8 @@ class MusicLDMPipeline:
         # same compiled scan instead of recompiling per file
         static_key = (self.scheduler_name, num_inference_steps, eta,
                       ip_guidance_rate, guidance_scale, supervised_space, owl,
-                      needs_guidance, self.scheduler_name == "ditto")
+                      needs_guidance, self.scheduler_name == "ditto",
+                      optim_prompt, optim_prompt_learning_rate, show_progress)
 
         if self.scheduler_name == "ditto":
             if static_key not in self._denoise_cache:
@@ -215,19 +226,60 @@ class MusicLDMPipeline:
             losses = jnp.asarray([loss])
         else:
             if static_key not in self._denoise_cache:
-                if needs_guidance:
+                if needs_guidance and optim_prompt:
+                    # working version of the reference's scheduler.optim_prompt
+                    # (scheduling_dps.py:63-135, invoked at t % 30 == 1,
+                    # plpeline_audioldm2.py:1162-1177). NOTE: the reference's
+                    # implementation is a silent no-op — it discards the
+                    # re-requires_grad'd clone and its loss graph never touches
+                    # the embeddings; here the SGD step uses the true gradient
+                    # d rec_loss / d prompt_embeds through the UNet forward.
+                    lr = optim_prompt_learning_rate
+
+                    def run(lat, k, meas, pembeds):
+                        loss_fn = self.make_loss_fn(meas, owl, supervised_space)
+                        step_fn = make_step_fn(self.schedule, cfg, loss_fn)
+                        diff0, rebuild = self._optim_prompt_split(pembeds)
+
+                        def body(carry, tk):
+                            x, diff, kk = carry
+                            kk, sub = jax.random.split(kk)
+
+                            def embeds_loss(d):
+                                eps = self._eps_fn(rebuild(d), x, tk,
+                                                   guidance_scale)
+                                x0 = self.schedule.pred_original(eps, tk, x)
+                                return loss_fn(x0)
+
+                            diff = jax.lax.cond(
+                                tk % 30 == 1,
+                                lambda d: jax.tree.map(
+                                    lambda p, g: p - lr * g, d,
+                                    jax.grad(embeds_loss)(d)),
+                                lambda d: d, diff)
+                            eps = self._eps_fn(rebuild(diff), x, tk,
+                                               guidance_scale)
+                            prev, _x0, loss = step_fn(eps, tk, x, sub)
+                            return (prev, diff, kk), loss
+
+                        (final, _, _), losses = jax.lax.scan(
+                            body, (lat, diff0, k), timesteps)
+                        return final, losses
+                elif needs_guidance:
                     def run(lat, k, meas, pembeds):
                         model_fn = self._make_model_fn(pembeds, guidance_scale)
                         loss_fn = self.make_loss_fn(meas, owl, supervised_space)
                         step_fn = make_step_fn(self.schedule, cfg, loss_fn)
                         return run_denoise_scan(step_fn, model_fn, lat,
-                                                timesteps, k)
+                                                timesteps, k,
+                                                progress=show_progress)
                 else:
                     def run(lat, k, meas, pembeds):
                         model_fn = self._make_model_fn(pembeds, guidance_scale)
                         step_fn = make_step_fn(self.schedule, cfg, None)
                         return run_denoise_scan(step_fn, model_fn, lat,
-                                                timesteps, k)
+                                                timesteps, k,
+                                                progress=show_progress)
                 self._denoise_cache[static_key] = jax.jit(run)
             run_jit = self._denoise_cache[static_key]
             final, losses = denoise_with_nan_retry(
@@ -246,6 +298,15 @@ class MusicLDMPipeline:
         return out
 
     # ------------------------------------------------------------- factories
+    @classmethod
+    def from_pretrained(cls, checkpoint_dir, scheduler_name: str = "ddim",
+                        operator=None, schedule=None):
+        """Load from a local HF-snapshot-layout directory (no hub egress here;
+        reference equivalent: run.py:218 from_pretrained(repo_id))."""
+        from ..models.checkpoint import load_musicldm
+        return load_musicldm(checkpoint_dir, scheduler_name=scheduler_name,
+                             operator=operator, schedule=schedule)
+
     @classmethod
     def tiny(cls, scheduler_name: str = "ddim", operator=None, seed: int = 0):
         """Random tiny-weight pipeline with the real model *structure* — the fake

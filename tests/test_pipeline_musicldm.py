@@ -87,6 +87,18 @@ class TestMusicLDMTiny:
                    supervised_space="wav_form", key=jax.random.key(4))
         assert np.isfinite(out.audios).all()
 
+    def test_optim_prompt_runs(self, inpaint_op, measurement):
+        """Working prompt-embedding optimization (the reference's optim_prompt is
+        a silent no-op — see pipelines/musicldm.py)."""
+        pipe = MusicLDMPipeline.tiny("dps", operator=inpaint_op)
+        out, losses = pipe(prompt="", audio_length_in_s=0.4,
+                           num_inference_steps=2, eta=0.0,
+                           ip_guidance_rate=5e-4, measurement=measurement,
+                           optim_prompt=True, optim_prompt_learning_rate=1e-3,
+                           return_losses=True, key=jax.random.key(5))
+        assert np.isfinite(out.audios).all()
+        assert np.isfinite(losses).all()
+
     def test_bad_supervised_space(self, inpaint_op, measurement):
         pipe = MusicLDMPipeline.tiny("diffmusic", operator=inpaint_op)
         with pytest.raises(ValueError, match="supervised_space"):
