@@ -366,3 +366,117 @@ def load_musicldm(checkpoint_dir, scheduler_name="ddim", operator=None,
         schedule=schedule if schedule is not None else DiffusionSchedule(),
         scheduler_name=scheduler_name,
         operator=operator, tokenizer=tokenizer)
+
+
+def _make_hf_tokenizer(tok_dir):
+    if not Path(tok_dir).exists():
+        return None
+    try:
+        from transformers import AutoTokenizer
+        hf_tok = AutoTokenizer.from_pretrained(str(tok_dir))
+
+        def tokenizer(texts):
+            out = hf_tok(list(texts), padding="max_length",
+                         max_length=min(hf_tok.model_max_length, 512),
+                         truncation=True, return_tensors="np")
+            return out["input_ids"], out["attention_mask"]
+        return tokenizer
+    except Exception:
+        return None
+
+
+def load_audioldm2(checkpoint_dir, scheduler_name="ddim", operator=None,
+                   schedule=None):
+    """Build an AudioLDM2Pipeline from a local HF-snapshot-layout directory:
+    text_encoder (CLAP), text_encoder_2 (T5), projection_model, language_model
+    (GPT-2), unet (dual cross-attn), vae, vocoder."""
+    from ..pipelines.audioldm2 import AudioLDM2Pipeline
+    from ..samplers import DiffusionSchedule
+
+    d = Path(checkpoint_dir)
+    unet_cfg = unet_config_from_json(_cfg(d / "unet"))
+    vae_cfg = vae_config_from_json(_cfg(d / "vae"))
+    voc_cfg = hifigan_config_from_json(_cfg(d / "vocoder"))
+
+    clap_json = _cfg(d / "text_encoder")
+    tjson = clap_json.get("text_config", clap_json)
+    txt_cfg = ClapTextConfig(
+        vocab_size=tjson.get("vocab_size", 50265),
+        hidden_size=tjson.get("hidden_size", 768),
+        num_hidden_layers=tjson.get("num_hidden_layers", 12),
+        num_attention_heads=tjson.get("num_attention_heads", 12),
+        intermediate_size=tjson.get("intermediate_size", 3072),
+        max_position_embeddings=tjson.get("max_position_embeddings", 514),
+        projection_dim=clap_json.get("projection_dim", 512))
+
+    t5_json = _cfg(d / "text_encoder_2")
+    t5_cfg = T5Config(
+        vocab_size=t5_json.get("vocab_size", 32128),
+        d_model=t5_json.get("d_model", 1024),
+        d_kv=t5_json.get("d_kv", 64),
+        d_ff=t5_json.get("d_ff", 2816),
+        num_layers=t5_json.get("num_layers", 24),
+        num_heads=t5_json.get("num_heads", 16),
+        is_gated_act="gated" in t5_json.get("feed_forward_proj", "gated-gelu"))
+
+    gpt2_json = _cfg(d / "language_model")
+    gpt2_cfg = GPT2Config(
+        vocab_size=gpt2_json.get("vocab_size", 50257),
+        n_positions=gpt2_json.get("n_positions", 1024),
+        n_embd=gpt2_json.get("n_embd", 768),
+        n_layer=gpt2_json.get("n_layer", 12),
+        n_head=gpt2_json.get("n_head", 12))
+    max_new_tokens = gpt2_json.get("max_new_tokens", 8)
+
+    proj_json = _cfg(d / "projection_model")
+    proj_cfg = ProjectionConfig(
+        text_encoder_dim=proj_json.get("text_encoder_dim", 512),
+        text_encoder_1_dim=proj_json.get("text_encoder_1_dim", 1024),
+        langauge_model_dim=proj_json.get("langauge_model_dim", 768))
+
+    unet_params = convert_unet(_load_module_sd(d / "unet"), unet_cfg)
+    vae_params = convert_vae(_load_module_sd(d / "vae"), vae_cfg)
+    voc_params = convert.convert_hifigan(_load_module_sd(d / "vocoder"), voc_cfg)
+    clap_sd = _load_module_sd(d / "text_encoder")
+    txt_params = convert.convert_clap_text(clap_sd, txt_cfg)
+    t5_params = convert.convert_t5_encoder(_load_module_sd(d / "text_encoder_2"),
+                                           t5_cfg)
+    gpt2_sd = _load_module_sd(d / "language_model")
+    # AudioLDM2 wraps GPT2Model under 'model.' in some snapshots
+    gpt2_sd = {k[len("model."):] if k.startswith("model.") else k: v
+               for k, v in gpt2_sd.items()}
+    gpt2_params = convert.convert_gpt2(gpt2_sd, gpt2_cfg)
+    proj_params = convert.convert_projection(_load_module_sd(d / "projection_model"))
+
+    # optional CLAP audio tower (for prompt_type='clap' / style guidance)
+    clap_audio_embed = None
+    if any(k.startswith("audio_model.") for k in clap_sd):
+        from .htsat import ClapAudioModelWithProjection, ClapAudioConfig
+        from .clap_features import make_clap_audio_embed
+        ajson = clap_json.get("audio_config", {})
+        a_cfg = ClapAudioConfig(
+            spec_size=ajson.get("spec_size", 256),
+            patch_size=ajson.get("patch_size", 4),
+            patch_stride=tuple(ajson.get("patch_stride", (4, 4))),
+            num_mel_bins=ajson.get("num_mel_bins", 64),
+            window_size=ajson.get("window_size", 8),
+            depths=tuple(ajson.get("depths", (2, 2, 6, 2))),
+            num_attention_heads=tuple(ajson.get("num_attention_heads",
+                                                (4, 8, 16, 32))),
+            patch_embeds_hidden_size=ajson.get("patch_embeds_hidden_size", 96),
+            projection_dim=clap_json.get("projection_dim", 512))
+        a_params = convert.convert_clap_audio(clap_sd, a_cfg)
+        clap_audio_embed = make_clap_audio_embed(
+            ClapAudioModelWithProjection(a_cfg), a_params)
+
+    return AudioLDM2Pipeline(
+        unet_cfg=unet_cfg, vae_cfg=vae_cfg, vocoder_cfg=voc_cfg, text_cfg=txt_cfg,
+        unet_params=unet_params, vae_params=vae_params, vocoder_params=voc_params,
+        text_params=txt_params,
+        schedule=schedule if schedule is not None else DiffusionSchedule(),
+        scheduler_name=scheduler_name, operator=operator,
+        tokenizer=_make_hf_tokenizer(d / "tokenizer"),
+        t5_cfg=t5_cfg, gpt2_cfg=gpt2_cfg, proj_cfg=proj_cfg,
+        t5_params=t5_params, gpt2_params=gpt2_params, proj_params=proj_params,
+        t5_tokenizer=_make_hf_tokenizer(d / "tokenizer_2"),
+        max_new_tokens=max_new_tokens, clap_audio_embed=clap_audio_embed)

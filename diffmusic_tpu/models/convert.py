@@ -180,6 +180,71 @@ def convert_gpt2(state_dict: Dict, cfg) -> Dict:
     return {"params": p}
 
 
+def convert_clap_audio(state_dict: Dict, cfg) -> Dict:
+    """transformers ClapAudioModelWithProjection -> flax params for models.htsat.
+
+    Accepts keys with or without the 'audio_model.' prefix.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    sd = {k[len("audio_model."):] if k.startswith("audio_model.") else k: v
+          for k, v in sd.items()}
+    enc = "audio_encoder"
+
+    def ln(name):
+        return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+    p: Dict = {
+        "patch_embed_proj": {"kernel": conv2d(sd[f"{enc}.patch_embed.proj.weight"]),
+                             "bias": sd[f"{enc}.patch_embed.proj.bias"]},
+        "patch_embed_norm": ln(f"{enc}.patch_embed.norm"),
+        "norm": ln(f"{enc}.norm"),
+        "bn_scale": sd[f"{enc}.batch_norm.weight"],
+        "bn_bias": sd[f"{enc}.batch_norm.bias"],
+        "projection_linear1": {"kernel": linear(sd["audio_projection.linear1.weight"]),
+                               "bias": sd["audio_projection.linear1.bias"]},
+        "projection_linear2": {"kernel": linear(sd["audio_projection.linear2.weight"]),
+                               "bias": sd["audio_projection.linear2.bias"]},
+    }
+    for i, depth in enumerate(cfg.depths):
+        for d in range(depth):
+            b = f"{enc}.layers.{i}.blocks.{d}"
+            p[f"stage_{i}_block_{d}"] = {
+                "layernorm_before": ln(f"{b}.layernorm_before"),
+                "layernorm_after": ln(f"{b}.layernorm_after"),
+                "attention": {
+                    "query": {"kernel": linear(sd[f"{b}.attention.self.query.weight"]),
+                              "bias": sd[f"{b}.attention.self.query.bias"]},
+                    "key": {"kernel": linear(sd[f"{b}.attention.self.key.weight"]),
+                            "bias": sd[f"{b}.attention.self.key.bias"]},
+                    "value": {"kernel": linear(sd[f"{b}.attention.self.value.weight"]),
+                              "bias": sd[f"{b}.attention.self.value.bias"]},
+                    "output_dense": {
+                        "kernel": linear(sd[f"{b}.attention.output.dense.weight"]),
+                        "bias": sd[f"{b}.attention.output.dense.bias"]},
+                    "relative_position_bias_table": sd[
+                        f"{b}.attention.self.relative_position_bias_table"],
+                },
+                "intermediate_dense": {
+                    "kernel": linear(sd[f"{b}.intermediate.dense.weight"]),
+                    "bias": sd[f"{b}.intermediate.dense.bias"]},
+                "output_dense": {"kernel": linear(sd[f"{b}.output.dense.weight"]),
+                                 "bias": sd[f"{b}.output.dense.bias"]},
+            }
+        if i < len(cfg.depths) - 1:
+            p[f"stage_{i}_downsample"] = {
+                "norm": ln(f"{enc}.layers.{i}.downsample.norm"),
+                "reduction": {"kernel": linear(
+                    sd[f"{enc}.layers.{i}.downsample.reduction.weight"])},
+            }
+    batch_stats = {
+        "bn_mean": sd.get(f"{enc}.batch_norm.running_mean",
+                          np.zeros(cfg.num_mel_bins, np.float32)),
+        "bn_var": sd.get(f"{enc}.batch_norm.running_var",
+                         np.ones(cfg.num_mel_bins, np.float32)),
+    }
+    return {"params": p, "batch_stats": batch_stats}
+
+
 def convert_projection(state_dict: Dict) -> Dict:
     """diffusers AudioLDM2ProjectionModel state dict -> flax params."""
     sd = {k: _np(v) for k, v in state_dict.items()}

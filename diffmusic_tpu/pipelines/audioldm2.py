@@ -137,6 +137,13 @@ class AudioLDM2Pipeline(MusicLDMPipeline):
 
     # ------------------------------------------------------------- factories
     @classmethod
+    def from_pretrained(cls, checkpoint_dir, scheduler_name: str = "ddim",
+                        operator=None, schedule=None):
+        from ..models.checkpoint import load_audioldm2
+        return load_audioldm2(checkpoint_dir, scheduler_name=scheduler_name,
+                              operator=operator, schedule=schedule)
+
+    @classmethod
     def tiny(cls, scheduler_name: str = "ddim", operator=None, seed: int = 0):
         t5_cfg = tiny_t5_config()
         gpt2_cfg = tiny_gpt2_config()

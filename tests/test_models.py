@@ -189,6 +189,47 @@ class TestProjection:
         assert np.asarray(mask).all()
 
 
+class TestClapAudioParity:
+    def test_htsat_audio_embeds_parity(self, rng):
+        """Full Swin audio tower (shifted windows, patch merging, freq-grouped
+        pooling) vs transformers ClapAudioModelWithProjection."""
+        from transformers import (ClapAudioModelWithProjection as TorchClapAudio,
+                                  ClapAudioConfig as TCfg)
+        from diffmusic_tpu.models.htsat import (ClapAudioModelWithProjection,
+                                                tiny_clap_audio_config)
+        tc = TCfg(spec_size=64, patch_size=4, patch_stride=[4, 4],
+                  num_mel_bins=16, window_size=4, depths=[1, 1],
+                  num_attention_heads=[2, 2], patch_embeds_hidden_size=16,
+                  hidden_size=32, projection_dim=16, enable_fusion=False,
+                  drop_path_rate=0.0, attention_probs_dropout_prob=0.0,
+                  hidden_dropout_prob=0.0)
+        torch.manual_seed(0)
+        tm = TorchClapAudio(tc).eval()
+        x = torch.randn(2, 1, 256, 16)
+        with torch.no_grad():
+            want = tm(input_features=x).audio_embeds.numpy()
+        cfg = tiny_clap_audio_config()
+        params = convert.convert_clap_audio(tm.state_dict(), cfg)
+        got = np.asarray(ClapAudioModelWithProjection(cfg).apply(
+            params, jnp.asarray(x.numpy())))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestClapFeatures:
+    def test_feature_extractor_parity(self):
+        """clap_mel_features vs transformers ClapFeatureExtractor (rand_trunc
+        path, exact-length input so no truncation randomness)."""
+        from transformers import ClapFeatureExtractor
+        from diffmusic_tpu.models.clap_features import clap_mel_features
+        fe = ClapFeatureExtractor(truncation="rand_trunc")
+        x = (np.random.default_rng(0).standard_normal(480000) * 0.1
+             ).astype(np.float32)
+        want = fe(x, sampling_rate=48000, return_tensors="np")["input_features"]
+        got = np.asarray(clap_mel_features(jnp.asarray(x[None])))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+
 class TestVAE:
     def test_roundtrip_shapes(self, rng):
         cfg = tiny_vae_config()
