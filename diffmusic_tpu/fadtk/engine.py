@@ -38,23 +38,32 @@ def _load_16k(path) -> np.ndarray:
 def cache_embedding_files(directory, model, workers: int = 1) -> int:
     """Embed every .wav in `directory`, caching <dir>/embeddings/<model>/*.npy.
     Returns number of files newly embedded. Idempotent like fadtk
-    (fad.py:193-200)."""
+    (fad.py:193-200). For process-pool fan-out use fad_batch.cache_embedding_files
+    (reference fadtk/fad_batch.py:25-48)."""
     directory = Path(directory)
+    load = getattr(model, "load_wav", _load_16k)
     new = 0
     for f in sorted(directory.glob("*.wav")):
         out = cache_path(f, model.name)
         if out.exists():
             continue
         out.parent.mkdir(parents=True, exist_ok=True)
-        emb = model(_load_16k(f))
+        emb = model(load(f))
         np.save(out, emb)
         new += 1
     return new
 
 
 class FADEngine:
-    def __init__(self, model=None, model_name: str = "mfcc-stack"):
-        self.model = model if model is not None else get_embedding_model(model_name)
+    def __init__(self, model=None, model_name: str = "mfcc-stack",
+                 checkpoint_dir=None):
+        if model is None:
+            if model_name == "mfcc-stack":
+                model = get_embedding_model(model_name)
+            else:
+                from .model_loader import get_model
+                model = get_model(model_name, checkpoint_dir)
+        self.model = model
 
     def _dir_embeddings(self, directory) -> np.ndarray:
         directory = Path(directory)

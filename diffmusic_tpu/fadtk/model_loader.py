@@ -1,0 +1,319 @@
+"""Embedding model zoo for FAD evaluation (reference: fadtk/model_loader.py).
+
+Same registry surface as the vendored fadtk the reference evaluates with
+(fadtk/model_loader.py:21-86 ModelLoader ABC; get_all_models :675-700): every
+loader has `name`, `sr`, `load_model()`, and `get_embedding(audio) ->
+(frames, dim)`. This environment has zero egress, so loaders resolve weights
+from a LOCAL checkpoint directory (`checkpoint_dir` or the
+`DIFFMUSIC_TPU_CHECKPOINTS` env var) instead of the HF hub / torch.hub the
+reference downloads from at runtime (fadtk/model_loader.py:323-378); a missing
+checkpoint raises a clear error naming the expected path. `mfcc-stack` is the
+always-available, deterministic, egress-free default.
+
+transformers-backed loaders (w2v2/HuBERT/WavLM/Whisper/MERT/EnCodec) run the
+HF torch models on CPU — evaluation embeddings are a host-side batch job in the
+reference too (multiprocessing pool, fadtk/fad_batch.py:46-48); the TPU stays
+dedicated to the diffusion hot loop.
+"""
+
+import os
+from abc import ABC, abstractmethod
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+
+def _checkpoint_root(checkpoint_dir=None) -> Optional[Path]:
+    d = checkpoint_dir or os.environ.get("DIFFMUSIC_TPU_CHECKPOINTS")
+    return Path(d) if d else None
+
+
+class ModelLoader(ABC):
+    """Embedding model interface (reference fadtk/model_loader.py:21-86)."""
+
+    def __init__(self, name: str, num_features: int, sr: int,
+                 audio_len: Optional[float] = None):
+        self.name = name
+        self.num_features = num_features
+        self.sr = sr
+        self.audio_len = audio_len
+        self.model = None
+        self.loaded = False
+
+    def get_embedding(self, audio: np.ndarray) -> np.ndarray:
+        if not self.loaded:
+            self.load_model()
+            self.loaded = True
+        embd = self._get_embedding(audio)
+        return np.asarray(embd, np.float32)
+
+    # fadtk calls models directly in places; keep both surfaces
+    def __call__(self, audio: np.ndarray) -> np.ndarray:
+        return self.get_embedding(audio)
+
+    @abstractmethod
+    def load_model(self):
+        ...
+
+    @abstractmethod
+    def _get_embedding(self, audio: np.ndarray) -> np.ndarray:
+        ...
+
+    def load_wav(self, wav_file):
+        from ..data import read_wav
+        wav, sr = read_wav(wav_file)
+        wav = wav.mean(axis=0)
+        if sr != self.sr:
+            from scipy.signal import resample_poly
+            wav = resample_poly(wav, self.sr, sr)
+        return wav.astype(np.float32)
+
+
+class MFCCStackLoader(ModelLoader):
+    """Deterministic egress-free default (see metrics/embeddings.py)."""
+
+    def __init__(self):
+        super().__init__("mfcc-stack", 160, 16000)
+
+    def load_model(self):
+        from ..metrics.embeddings import MFCCStackEmbedding
+        self.model = MFCCStackEmbedding()
+
+    def _get_embedding(self, audio):
+        return self.model(audio)
+
+
+class _LocalCheckpointLoader(ModelLoader):
+    """Shared machinery for loaders that need a local checkpoint directory."""
+
+    subdir: str = ""
+
+    def __init__(self, name, num_features, sr, checkpoint_dir=None,
+                 audio_len=None):
+        super().__init__(name, num_features, sr, audio_len)
+        self.checkpoint_dir = checkpoint_dir
+
+    def _resolve(self) -> Path:
+        root = _checkpoint_root(self.checkpoint_dir)
+        if root is None:
+            raise FileNotFoundError(
+                f"Embedding model '{self.name}' needs local weights (no hub "
+                f"egress here). Set DIFFMUSIC_TPU_CHECKPOINTS=<dir> containing "
+                f"'{self.subdir}', or pass checkpoint_dir=.")
+        path = root / self.subdir if self.subdir else root
+        if not path.exists():
+            raise FileNotFoundError(
+                f"Embedding model '{self.name}': expected checkpoint at {path}")
+        return path
+
+
+class _HFFeatureLoader(_LocalCheckpointLoader):
+    """transformers AutoModel hidden-state embeddings (w2v2 / HuBERT / WavLM /
+    MERT family — reference fadtk/model_loader.py:524-632)."""
+
+    def __init__(self, name, num_features, sr, subdir, layer=None,
+                 checkpoint_dir=None):
+        super().__init__(name, num_features, sr, checkpoint_dir)
+        self.subdir = subdir
+        self.layer = layer
+
+    def load_model(self):
+        import torch
+        from transformers import AutoModel
+        path = self._resolve()
+        self.model = AutoModel.from_pretrained(str(path)).eval()
+        self.torch = torch
+
+    def _get_embedding(self, audio):
+        torch = self.torch
+        with torch.no_grad():
+            x = torch.from_numpy(np.asarray(audio, np.float32))[None]
+            out = self.model(x, output_hidden_states=self.layer is not None)
+        if self.layer is not None:
+            h = out.hidden_states[self.layer]
+        else:
+            h = out.last_hidden_state
+        return h[0].cpu().numpy()
+
+
+class W2V2Model(_HFFeatureLoader):
+    """wav2vec2 base/large per-layer (reference fadtk/model_loader.py:524-558)."""
+
+    def __init__(self, size: str = "base", layer: Optional[int] = None,
+                 checkpoint_dir=None):
+        dim = 768 if size == "base" else 1024
+        layer_tag = "" if layer is None else f"-layer{layer}"
+        super().__init__(f"w2v2-{size}{layer_tag}", dim, 16000,
+                         f"wav2vec2-{size}-960h", layer, checkpoint_dir)
+
+
+class HuBERTModel(_HFFeatureLoader):
+    def __init__(self, size: str = "base", layer: Optional[int] = None,
+                 checkpoint_dir=None):
+        dim = 768 if size == "base" else 1024
+        layer_tag = "" if layer is None else f"-layer{layer}"
+        super().__init__(f"hubert-{size}{layer_tag}", dim, 16000,
+                         f"hubert-{size}-ls960", layer, checkpoint_dir)
+
+
+class WavLMModel(_HFFeatureLoader):
+    def __init__(self, size: str = "base", layer: Optional[int] = None,
+                 checkpoint_dir=None):
+        dim = 768 if "base" in size else 1024
+        layer_tag = "" if layer is None else f"-layer{layer}"
+        super().__init__(f"wavlm-{size}{layer_tag}", dim, 16000,
+                         f"wavlm-{size}", layer, checkpoint_dir)
+
+
+class MERTModel(_HFFeatureLoader):
+    """MERT-v1-95M per-layer (reference fadtk/model_loader.py:254-287)."""
+
+    def __init__(self, layer: int = 12, checkpoint_dir=None):
+        super().__init__(f"MERT-v1-95M-{layer}" if layer != 12 else "MERT-v1-95M",
+                         768, 24000, "MERT-v1-95M", layer, checkpoint_dir)
+
+
+class WhisperModel(_LocalCheckpointLoader):
+    """Whisper encoder embeddings (reference fadtk/model_loader.py:635-671)."""
+
+    def __init__(self, size: str = "tiny", checkpoint_dir=None):
+        dims = {"tiny": 384, "base": 512, "small": 768, "medium": 1024,
+                "large": 1280}
+        super().__init__(f"whisper-{size}", dims[size], 16000, checkpoint_dir)
+        self.subdir = f"whisper-{size}"
+
+    def load_model(self):
+        import torch
+        from transformers import AutoFeatureExtractor, WhisperModel as HFWhisper
+        path = self._resolve()
+        self.feature_extractor = AutoFeatureExtractor.from_pretrained(str(path))
+        self.model = HFWhisper.from_pretrained(str(path)).eval()
+        self.torch = torch
+
+    def _get_embedding(self, audio):
+        torch = self.torch
+        feats = self.feature_extractor(np.asarray(audio, np.float32),
+                                       sampling_rate=self.sr,
+                                       return_tensors="pt")
+        with torch.no_grad():
+            h = self.model.encoder(feats.input_features).last_hidden_state
+        return h[0].cpu().numpy()
+
+
+class EncodecEmbModel(_LocalCheckpointLoader):
+    """EnCodec continuous pre-quant embeddings (reference
+    fadtk/model_loader.py:111-186)."""
+
+    def __init__(self, variant: str = "24k", checkpoint_dir=None):
+        super().__init__(f"encodec-emb{'' if variant == '24k' else '-48k'}",
+                         128, 24000 if variant == "24k" else 48000,
+                         checkpoint_dir)
+        self.subdir = f"encodec_{variant}"
+
+    def load_model(self):
+        import torch
+        from transformers import EncodecModel
+        path = self._resolve()
+        self.model = EncodecModel.from_pretrained(str(path)).eval()
+        self.torch = torch
+
+    def _get_embedding(self, audio):
+        torch = self.torch
+        x = torch.from_numpy(np.asarray(audio, np.float32))[None, None]
+        with torch.no_grad():
+            emb = self.model.encoder(x)  # (1, 128, frames)
+        return emb[0].T.cpu().numpy()
+
+
+class CLAPLaionModel(_LocalCheckpointLoader):
+    """LAION-CLAP audio embeddings via this package's flax HTSAT tower
+    (reference fadtk/model_loader.py:290-417 downloads laion_clap checkpoints;
+    here the tower is the converted local CLAP audio model)."""
+
+    def __init__(self, type: str = "audio", checkpoint_dir=None):
+        super().__init__(f"clap-laion-{type}", 512, 48000, checkpoint_dir)
+        self.type = type
+        self.subdir = "clap"
+
+    def load_model(self):
+        from ..models.checkpoint import _cfg, _load_module_sd
+        from ..models.htsat import ClapAudioModelWithProjection, ClapAudioConfig
+        from ..models.clap_features import make_clap_audio_embed
+        from ..models import convert
+        path = self._resolve()
+        clap_json = _cfg(path)
+        ajson = clap_json.get("audio_config", {})
+        cfg = ClapAudioConfig(
+            spec_size=ajson.get("spec_size", 256),
+            patch_size=ajson.get("patch_size", 4),
+            patch_stride=tuple(ajson.get("patch_stride", (4, 4))),
+            num_mel_bins=ajson.get("num_mel_bins", 64),
+            window_size=ajson.get("window_size", 8),
+            depths=tuple(ajson.get("depths", (2, 2, 6, 2))),
+            num_attention_heads=tuple(ajson.get("num_attention_heads",
+                                                (4, 8, 16, 32))),
+            patch_embeds_hidden_size=ajson.get("patch_embeds_hidden_size", 96),
+            projection_dim=clap_json.get("projection_dim", 512))
+        params = convert.convert_clap_audio(_load_module_sd(path), cfg)
+        self.model = make_clap_audio_embed(ClapAudioModelWithProjection(cfg),
+                                           params)
+        self.sr = 16000  # the feature pipeline consumes 16 kHz mono
+
+    def _get_embedding(self, audio):
+        emb = self.model(np.asarray(audio, np.float32)[None])
+        return np.asarray(emb)
+
+
+class VGGishModel(_LocalCheckpointLoader):
+    """VGGish (reference diffmusic/metrics/fad.py:59 pulls it from torch.hub;
+    here: local torchvggish checkpoint)."""
+
+    def __init__(self, checkpoint_dir=None):
+        super().__init__("vggish", 128, 16000, checkpoint_dir)
+        self.subdir = "vggish"
+
+    def load_model(self):
+        import torch
+        path = self._resolve()
+        self.model = torch.hub.load(str(path), "vggish", source="local",
+                                    pretrained=True)
+        self.model.eval()
+        self.torch = torch
+
+    def _get_embedding(self, audio):
+        with self.torch.no_grad():
+            emb = self.model.forward(np.asarray(audio, np.float64), self.sr)
+        return emb.cpu().numpy()
+
+
+def get_all_models(checkpoint_dir=None) -> List[ModelLoader]:
+    """Enumerate the zoo (reference fadtk/model_loader.py:675-700). Loaders are
+    lazy: enumeration never touches disk; load happens on first embedding."""
+    ms: List[ModelLoader] = [
+        MFCCStackLoader(),
+        VGGishModel(checkpoint_dir),
+        CLAPLaionModel("audio", checkpoint_dir),
+        CLAPLaionModel("music", checkpoint_dir),
+        EncodecEmbModel("24k", checkpoint_dir),
+        EncodecEmbModel("48k", checkpoint_dir),
+        *(MERTModel(layer, checkpoint_dir) for layer in range(1, 13)),
+        W2V2Model("base", None, checkpoint_dir),
+        W2V2Model("large", None, checkpoint_dir),
+        *(W2V2Model("base", l, checkpoint_dir) for l in range(1, 13)),
+        HuBERTModel("base", None, checkpoint_dir),
+        HuBERTModel("large", None, checkpoint_dir),
+        WavLMModel("base", None, checkpoint_dir),
+        WavLMModel("base-plus", None, checkpoint_dir),
+        *(WhisperModel(s, checkpoint_dir)
+          for s in ("tiny", "base", "small", "medium", "large")),
+    ]
+    return ms
+
+
+def get_model(name: str, checkpoint_dir=None) -> ModelLoader:
+    for m in get_all_models(checkpoint_dir):
+        if m.name == name:
+            return m
+    known = ", ".join(m.name for m in get_all_models(checkpoint_dir))
+    raise ValueError(f"Unknown embedding model '{name}'. Known: {known}")
