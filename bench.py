@@ -48,24 +48,29 @@ def main(compute_dtype=jnp.bfloat16):
     scaling = pipe.vae_cfg.scaling_factor
     timesteps = jnp.asarray(pipe.schedule.timesteps(NUM_STEPS))
 
-    def model_fn(x, t):
-        x_in = jnp.concatenate([x, x], axis=0).astype(compute_dtype)
-        eps = pipe.unet.apply(unet_params, x_in, t, class_labels=prompt_embeds)
-        uncond, text = jnp.split(eps.astype(jnp.float32), 2, axis=0)
-        return uncond + guidance_scale * (text - uncond)
-
-    def loss_fn(x0_latent):
-        mel = pipe.vae.apply(vae_params, (x0_latent / scaling).astype(compute_dtype),
-                             method=AutoencoderKL.decode)
-        audio = op.inverse_transform(
-            mel, lambda m: pipe.vocoder.apply(voc_params, m))
-        pred = op.forward(audio[:, :owl].astype(jnp.float32))
-        return jnp.linalg.norm(target_mel - op.transform(pred))
-
-    step_fn = make_step_fn(pipe.schedule, cfg, loss_fn)
-
+    # params are jit ARGUMENTS (closure constants would embed ~1 GB of weights
+    # into the HLO — the remote-compile tunnel rejects such payloads)
     @jax.jit
-    def sample(latents, key):
+    def sample(params, latents, key):
+        unet_p, vae_p, voc_p = params
+
+        def model_fn(x, t):
+            x_in = jnp.concatenate([x, x], axis=0).astype(compute_dtype)
+            eps = pipe.unet.apply(unet_p, x_in, t, class_labels=prompt_embeds)
+            uncond, text = jnp.split(eps.astype(jnp.float32), 2, axis=0)
+            return uncond + guidance_scale * (text - uncond)
+
+        def loss_fn(x0_latent):
+            mel = pipe.vae.apply(vae_p,
+                                 (x0_latent / scaling).astype(compute_dtype),
+                                 method=AutoencoderKL.decode)
+            audio = op.inverse_transform(
+                mel, lambda m: pipe.vocoder.apply(voc_p, m))
+            pred = op.forward(audio[:, :owl].astype(jnp.float32))
+            return jnp.linalg.norm(target_mel - op.transform(pred))
+
+        step_fn = make_step_fn(pipe.schedule, cfg, loss_fn)
+
         def body(carry, t):
             x, k = carry
             k, sub = jax.random.split(k)
@@ -76,17 +81,18 @@ def main(compute_dtype=jnp.bfloat16):
         (final, _), losses = jax.lax.scan(body, (latents, key), timesteps)
         return final, losses
 
+    params = (unet_params, vae_params, voc_params)
     latents = jax.random.normal(jax.random.key(0), lat_shape)
 
     # compile (cached across runs by XLA's persistent cache where available)
     t0 = time.time()
-    final, losses = sample(latents, jax.random.key(1))
+    final, losses = sample(params, latents, jax.random.key(1))
     final.block_until_ready()
     compile_and_first_run_s = time.time() - t0
 
     # timed run
     t0 = time.time()
-    final, losses = sample(latents, jax.random.key(2))
+    final, losses = sample(params, latents, jax.random.key(2))
     final.block_until_ready()
     wall = time.time() - t0
 

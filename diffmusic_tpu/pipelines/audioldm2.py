@@ -111,14 +111,16 @@ class AudioLDM2Pipeline(MusicLDMPipeline):
                 jnp.concatenate([nt5_mask, t5_mask], axis=0))
 
     # --------------------------------------------------------------- denoise
-    def _apply_unet(self, prompt_embeds, x_in, t):
+    def _apply_unet(self, prompt_embeds, x_in, t, unet_params=None):
         """Dual-stream conditioning: GPT-2 generated states + T5 sequence
         (reference plpeline_audioldm2.py:1147-1154)."""
         generated, t5_seq, t5_mask = prompt_embeds
-        return self.unet.apply(self.unet_params, x_in, t,
-                               encoder_hidden_states=generated,
-                               encoder_hidden_states_1=t5_seq,
-                               encoder_attention_mask_1=t5_mask)
+        return self.unet.apply(
+            unet_params if unet_params is not None else self.unet_params,
+            x_in, t,
+            encoder_hidden_states=generated,
+            encoder_hidden_states_1=t5_seq,
+            encoder_attention_mask_1=t5_mask)
 
     def _optim_prompt_split(self, prompt_embeds):
         generated, t5_seq, t5_mask = prompt_embeds

@@ -73,31 +73,48 @@ class MusicLDMPipeline:
         nemb = nemb / jnp.linalg.norm(nemb, axis=-1, keepdims=True)
         return jnp.concatenate([nemb, emb], axis=0)
 
-    # ----------------------------------------------------------------- audio
-    def decode_mel(self, latents):
-        scaled = latents / self.vae_cfg.scaling_factor
-        return self.vae.apply(self.vae_params, scaled, method=AutoencoderKL.decode)
+    # ----------------------------------------------------------------- params
+    def _denoise_params(self):
+        """The param trees the jitted denoise programs consume. Passed as jit
+        ARGUMENTS, never closed over: closure constants get baked into the HLO
+        as literals, which at full scale is ~1 GB of weights per program — it
+        bloats compile requests (the remote-compile tunnel rejects them) and
+        defeats executable caching across param updates."""
+        return {"unet": self.unet_params, "vae": self.vae_params,
+                "vocoder": self.vocoder_params}
 
-    def mel_to_waveform(self, mel):
+    # ----------------------------------------------------------------- audio
+    def decode_mel(self, latents, vae_params=None):
+        scaled = latents / self.vae_cfg.scaling_factor
+        return self.vae.apply(
+            vae_params if vae_params is not None else self.vae_params,
+            scaled, method=AutoencoderKL.decode)
+
+    def mel_to_waveform(self, mel, vocoder_params=None):
         """(B, 1, T, n_mels) or (B, T, n_mels) -> (B, L) via HiFi-GAN."""
         if mel.ndim == 4:
             mel = mel[:, 0]
-        return self.vocoder.apply(self.vocoder_params, mel)
+        return self.vocoder.apply(
+            vocoder_params if vocoder_params is not None else self.vocoder_params,
+            mel)
 
-    def _vocoder_fn(self):
-        params = self.vocoder_params
+    def _vocoder_fn(self, vocoder_params=None):
+        params = vocoder_params if vocoder_params is not None \
+            else self.vocoder_params
         apply = self.vocoder.apply
         return lambda mel: apply(params, mel)
 
     def make_loss_fn(self, measurement, original_waveform_length: int,
-                     supervised_space: str = "mel_spectrogram"):
+                     supervised_space: str = "mel_spectrogram", params=None):
         """rec_loss(pred_x0_latent) = || y_space - A_space(decode(x0)) ||_F.
 
         The guidance chain of scheduling_dps.py:195-211: VAE decode -> vocoder ->
         crop -> operator.forward -> (optional mel transform) -> Frobenius norm.
         """
         op = self.operator
-        vocoder = self._vocoder_fn()
+        vae_params = params["vae"] if params is not None else None
+        vocoder = self._vocoder_fn(params["vocoder"] if params is not None
+                                   else None)
         if supervised_space == "mel_spectrogram":
             target = op.transform(measurement)
         elif supervised_space == "wav_form":
@@ -107,7 +124,7 @@ class MusicLDMPipeline:
                 "supervised_space should be either 'wav_form' or 'mel_spectrogram'")
 
         def loss_fn(x0_latent):
-            mel = self.decode_mel(x0_latent)
+            mel = self.decode_mel(x0_latent, vae_params)
             audio = op.inverse_transform(mel, vocoder)
             audio = audio[:, :original_waveform_length]
             pred = op.forward(audio)
@@ -120,23 +137,27 @@ class MusicLDMPipeline:
         return loss_fn
 
     # --------------------------------------------------------------- denoise
-    def _apply_unet(self, prompt_embeds, x_in, t):
+    def _apply_unet(self, prompt_embeds, x_in, t, unet_params=None):
         """UNet conditioning signature; MusicLDM feeds CLAP embeds as class
         labels (reference pipeline_musicldm.py:696-703)."""
-        return self.unet.apply(self.unet_params, x_in, t,
-                               class_labels=prompt_embeds)
+        return self.unet.apply(
+            unet_params if unet_params is not None else self.unet_params,
+            x_in, t, class_labels=prompt_embeds)
 
-    def _eps_fn(self, prompt_embeds, x, t, guidance_scale: float):
+    def _eps_fn(self, prompt_embeds, x, t, guidance_scale: float,
+                unet_params=None):
         """CFG-combined noise prediction as a function of the prompt embeds."""
         if guidance_scale > 1.0:
             x_in = jnp.concatenate([x, x], axis=0)
-            eps = self._apply_unet(prompt_embeds, x_in, t)
+            eps = self._apply_unet(prompt_embeds, x_in, t, unet_params)
             uncond, text = jnp.split(eps, 2, axis=0)
             return uncond + guidance_scale * (text - uncond)
-        return self._apply_unet(prompt_embeds, x, t)
+        return self._apply_unet(prompt_embeds, x, t, unet_params)
 
-    def _make_model_fn(self, prompt_embeds, guidance_scale: float):
-        return lambda x, t: self._eps_fn(prompt_embeds, x, t, guidance_scale)
+    def _make_model_fn(self, prompt_embeds, guidance_scale: float,
+                       unet_params=None):
+        return lambda x, t: self._eps_fn(prompt_embeds, x, t, guidance_scale,
+                                         unet_params)
 
     def _optim_prompt_split(self, prompt_embeds):
         """(differentiable part, rebuild fn) for prompt-embedding optimization."""
@@ -205,23 +226,25 @@ class MusicLDMPipeline:
                       needs_guidance, self.scheduler_name == "ditto",
                       optim_prompt, optim_prompt_learning_rate, show_progress)
 
+        mparams = self._denoise_params()
         if self.scheduler_name == "ditto":
             if static_key not in self._denoise_cache:
-                def loss_of_init(init_lat, k, meas, pembeds):
-                    model_fn = self._make_model_fn(pembeds, guidance_scale)
-                    loss_fn = self.make_loss_fn(meas, owl, supervised_space)
+                def loss_of_init(mp, init_lat, k, meas, pembeds):
+                    model_fn = self._make_model_fn(pembeds, guidance_scale,
+                                                   mp["unet"])
+                    loss_fn = self.make_loss_fn(meas, owl, supervised_space, mp)
                     step_fn = make_step_fn(self.schedule, cfg, loss_fn)
                     final, losses = run_denoise_scan(step_fn, model_fn, init_lat,
                                                      timesteps, k, remat=True)
                     return losses[-1], final
 
                 self._denoise_cache[static_key] = jax.jit(
-                    jax.value_and_grad(loss_of_init, has_aux=True))
+                    jax.value_and_grad(loss_of_init, argnums=1, has_aux=True))
             grad_fn = self._denoise_cache[static_key]
             lat = latents
             for _ in range(optim_outer_loop):
-                (loss, final), grad = grad_fn(lat, scan_key, measurement,
-                                              prompt_embeds)
+                (loss, final), grad = grad_fn(mparams, lat, scan_key,
+                                              measurement, prompt_embeds)
                 lat = lat - ip_guidance_rate * grad
             losses = jnp.asarray([loss])
         else:
@@ -236,8 +259,9 @@ class MusicLDMPipeline:
                     # d rec_loss / d prompt_embeds through the UNet forward.
                     lr = optim_prompt_learning_rate
 
-                    def run(lat, k, meas, pembeds):
-                        loss_fn = self.make_loss_fn(meas, owl, supervised_space)
+                    def run(mp, lat, k, meas, pembeds):
+                        loss_fn = self.make_loss_fn(meas, owl, supervised_space,
+                                                    mp)
                         step_fn = make_step_fn(self.schedule, cfg, loss_fn)
                         diff0, rebuild = self._optim_prompt_split(pembeds)
 
@@ -247,7 +271,7 @@ class MusicLDMPipeline:
 
                             def embeds_loss(d):
                                 eps = self._eps_fn(rebuild(d), x, tk,
-                                                   guidance_scale)
+                                                   guidance_scale, mp["unet"])
                                 x0 = self.schedule.pred_original(eps, tk, x)
                                 return loss_fn(x0)
 
@@ -258,7 +282,7 @@ class MusicLDMPipeline:
                                     jax.grad(embeds_loss)(d)),
                                 lambda d: d, diff)
                             eps = self._eps_fn(rebuild(diff), x, tk,
-                                               guidance_scale)
+                                               guidance_scale, mp["unet"])
                             prev, _x0, loss = step_fn(eps, tk, x, sub)
                             return (prev, diff, kk), loss
 
@@ -266,16 +290,19 @@ class MusicLDMPipeline:
                             body, (lat, diff0, k), timesteps)
                         return final, losses
                 elif needs_guidance:
-                    def run(lat, k, meas, pembeds):
-                        model_fn = self._make_model_fn(pembeds, guidance_scale)
-                        loss_fn = self.make_loss_fn(meas, owl, supervised_space)
+                    def run(mp, lat, k, meas, pembeds):
+                        model_fn = self._make_model_fn(pembeds, guidance_scale,
+                                                       mp["unet"])
+                        loss_fn = self.make_loss_fn(meas, owl, supervised_space,
+                                                    mp)
                         step_fn = make_step_fn(self.schedule, cfg, loss_fn)
                         return run_denoise_scan(step_fn, model_fn, lat,
                                                 timesteps, k,
                                                 progress=show_progress)
                 else:
-                    def run(lat, k, meas, pembeds):
-                        model_fn = self._make_model_fn(pembeds, guidance_scale)
+                    def run(mp, lat, k, meas, pembeds):
+                        model_fn = self._make_model_fn(pembeds, guidance_scale,
+                                                       mp["unet"])
                         step_fn = make_step_fn(self.schedule, cfg, None)
                         return run_denoise_scan(step_fn, model_fn, lat,
                                                 timesteps, k,
@@ -283,14 +310,19 @@ class MusicLDMPipeline:
                 self._denoise_cache[static_key] = jax.jit(run)
             run_jit = self._denoise_cache[static_key]
             final, losses = denoise_with_nan_retry(
-                lambda lat, k: run_jit(lat, k, measurement, prompt_embeds),
+                lambda lat, k: run_jit(mparams, lat, k, measurement,
+                                       prompt_embeds),
                 latents, scan_key)
 
         if output_type == "latent":
             return AudioPipelineOutput(audios=np.asarray(final))
 
-        mel = self.decode_mel(final)
-        audio = self.mel_to_waveform(mel)
+        if "decode" not in self._denoise_cache:
+            def decode(mp, lat):
+                mel = self.decode_mel(lat, mp["vae"])
+                return mel, self.mel_to_waveform(mel, mp["vocoder"])
+            self._denoise_cache["decode"] = jax.jit(decode)
+        mel, audio = self._denoise_cache["decode"](mparams, final)
         audio = np.asarray(audio[:, :owl], np.float32)
         out = AudioPipelineOutput(audios=audio)
         if return_losses:

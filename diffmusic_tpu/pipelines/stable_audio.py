@@ -112,34 +112,39 @@ class StableAudioPipeline:
             latents = jax.random.normal(
                 lat_key, (batch, self.dit_cfg.in_channels, latent_t), self.dtype)
 
-        cache_key = (num_inference_steps, guidance_scale, latents.shape)
+        cache_key = (num_inference_steps, guidance_scale, latents.shape,
+                     text_ctx.shape)
         if cache_key not in self._sampler_cache:
-            def model_fn(x, t):
-                if do_cfg:
-                    x_in = jnp.concatenate([x, x], axis=0)
-                    ctx = jnp.repeat(text_ctx, batch, axis=0)
-                    glob = jnp.repeat(global_states, batch, axis=0)
-                    tt = jnp.full((2 * batch,), t)
-                    out = self.dit.apply(self.dit_params, x_in, tt, ctx, glob)
-                    uncond, cond = jnp.split(out, 2, axis=0)
-                    return uncond + guidance_scale * (cond - uncond)
-                tt = jnp.full((batch,), t)
-                return self.dit.apply(self.dit_params, x, tt,
-                                      jnp.repeat(text_ctx, batch, axis=0),
-                                      jnp.repeat(global_states, batch, axis=0))
+            # params and conditioning are jit ARGUMENTS, not closure constants:
+            # closures would bake the weights into the HLO (huge compile
+            # payloads) and would silently reuse a stale prompt across calls
+            def run(params, lat, ctx_seq, glob_vec):
+                def model_fn(x, t):
+                    if do_cfg:
+                        x_in = jnp.concatenate([x, x], axis=0)
+                        ctx = jnp.repeat(ctx_seq, batch, axis=0)
+                        glob = jnp.repeat(glob_vec, batch, axis=0)
+                        tt = jnp.full((2 * batch,), t)
+                        out = self.dit.apply(params["dit"], x_in, tt, ctx, glob)
+                        uncond, cond = jnp.split(out, 2, axis=0)
+                        return uncond + guidance_scale * (cond - uncond)
+                    tt = jnp.full((batch,), t)
+                    return self.dit.apply(params["dit"], x, tt,
+                                          jnp.repeat(ctx_seq, batch, axis=0),
+                                          jnp.repeat(glob_vec, batch, axis=0))
 
-            sampler = make_edm_sampler(self.schedule, num_inference_steps,
-                                       model_fn)
-
-            def run(lat):
+                sampler = make_edm_sampler(self.schedule, num_inference_steps,
+                                           model_fn)
                 final = sampler(lat)
-                audio = self.vae.apply(self.vae_params, final,
+                audio = self.vae.apply(params["vae"], final,
                                        method=AutoencoderOobleck.decode)
                 return final, audio
 
             self._sampler_cache[cache_key] = jax.jit(run)
 
-        final, audio = self._sampler_cache[cache_key](latents)
+        final, audio = self._sampler_cache[cache_key](
+            {"dit": self.dit_params, "vae": self.vae_params},
+            latents, text_ctx, global_states)
         if output_type == "latent":
             return AudioPipelineOutput(audios=np.asarray(final))
         audio = np.asarray(audio[:, :, :length], np.float32)  # (B, C, T)
