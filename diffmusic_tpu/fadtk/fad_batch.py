@@ -16,6 +16,17 @@ from .engine import cache_path
 
 def _worker(args) -> int:
     model_name, checkpoint_dir, files = args
+    # embedding extraction is host-side batch work: pin spawned workers to the
+    # CPU backend so they neither contend for the TPU with the diffusion loop
+    # nor produce device-dependent numerics vs in-process runs (set
+    # DIFFMUSIC_TPU_EMBED_DEVICE=tpu to override)
+    import os
+    if os.environ.get("DIFFMUSIC_TPU_EMBED_DEVICE", "cpu") == "cpu":
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized; keep whatever it is
     from .model_loader import get_model
     import numpy as np
     model = get_model(model_name, checkpoint_dir)

@@ -96,7 +96,14 @@ class Attention(nn.Module):
         if mask is not None:
             bias = jnp.where(mask[:, None, None, :], 0.0, -1e9).astype(q.dtype)
 
-        attn = jax.nn.dot_product_attention(q, k, v, bias=bias)
+        if bias is None and tq == tk and tq >= 512:
+            # long unmasked self-attention: flash kernel keeps the (T, T)
+            # logits out of HBM (the XLA path materializes ~0.5 GB per level-0
+            # attention at MusicLDM 10-s scale)
+            from ..pallas.attention_kernel import flash_attention
+            attn = flash_attention(q, k, v)
+        else:
+            attn = jax.nn.dot_product_attention(q, k, v, bias=bias)
         attn = attn.reshape(b, tq, inner)
         return nn.Dense(out_dim, name="to_out")(attn)
 

@@ -149,6 +149,12 @@ class MelSpectrogram:
     f_max: float | None = None
 
     def __call__(self, x: jax.Array) -> jax.Array:
+        # NOTE: inside guidance grads the plain-XLA path is faster end-to-end
+        # (XLA fuses it into the surrounding program and shares activations
+        # with its VJP; measured 82 vs 111 ms/step at MusicLDM 10-s scale), so
+        # it stays the default. The fused Pallas kernel
+        # (pallas.mel_kernel.fused_mel_spectrogram, 10.8x faster standalone)
+        # is used by forward-only paths (metrics/eval embeddings).
         from .stft import spectrogram
         spec = spectrogram(x, self.n_fft, self.hop_length, self.win_length,
                            power=self.power, center=True, use_hann=True)

@@ -92,6 +92,27 @@ def spectrogram(x: jax.Array, n_fft: int = 1024, hop_length: int = 160,
     return jnp.power(mag_sq + 1e-24, power / 2.0)
 
 
+def overlap_add(frames: jax.Array, hop_length: int) -> jax.Array:
+    """Scatter-free overlap-add: (..., T, n_fft) -> (..., (T-1)*hop + n_fft).
+
+    TPU scatters (`.at[idx].add`) serialize badly; decomposing each frame into
+    ceil(n_fft/hop) hop-sized chunks turns the overlap-add into K shifted dense
+    adds of contiguous arrays, which XLA fuses into a handful of vector ops.
+    """
+    *batch, t, n_fft = frames.shape
+    k = -(-n_fft // hop_length)  # ceil
+    pad = k * hop_length - n_fft
+    fr = jnp.pad(frames, [(0, 0)] * len(batch) + [(0, 0), (0, pad)])
+    fr = fr.reshape(*batch, t, k, hop_length)
+    out_len = (t + k - 1) * hop_length
+    out = jnp.zeros((*batch, out_len), frames.dtype)
+    for c in range(k):
+        chunk = fr[..., :, c, :].reshape(*batch, t * hop_length)
+        out = out.at[..., c * hop_length:c * hop_length + t * hop_length].add(
+            chunk)  # static contiguous slice: lowers to pad+add, not scatter
+    return out[..., :(t - 1) * hop_length + n_fft]
+
+
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "center"))
 def magphase_spectrogram(x: jax.Array, n_fft: int = 1024, hop_length: int = 160,
                          win_length: int = 1024, center: bool = True):
@@ -145,24 +166,11 @@ def istft(re: jax.Array, im: jax.Array, n_fft: int = 1024, hop_length: int = 160
 
     frames = frames * w
 
-    out_len = n_fft + hop_length * (num_frames - 1)
-    idx = np.arange(num_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-    flat_idx = jnp.asarray(idx.reshape(-1))
-
-    batch_shape = frames.shape[:-2]
-    flat_frames = frames.reshape(*batch_shape, -1)
-
-    def overlap_add(fr):
-        return jnp.zeros((out_len,), fr.dtype).at[flat_idx].add(fr)
-
-    for _ in range(len(batch_shape)):
-        overlap_add = jax.vmap(overlap_add)
-    y = overlap_add(flat_frames)
+    y = overlap_add(frames, hop_length)
 
     # window-envelope normalization
-    wsq = (w * w).astype(jnp.float32)
-    env = jnp.zeros((out_len,), jnp.float32).at[flat_idx].add(
-        jnp.tile(wsq, num_frames))
+    wsq = jnp.broadcast_to((w * w).astype(jnp.float32), (num_frames, n_fft))
+    env = overlap_add(wsq, hop_length)
     y = y / jnp.maximum(env, 1e-11).astype(y.dtype)
 
     if center:

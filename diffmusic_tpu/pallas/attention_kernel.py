@@ -1,0 +1,122 @@
+"""Flash self-attention Pallas kernel for small head dims.
+
+The latent-audio UNets use attention_head_dim=8 with up to 4000 tokens
+(level-0 spatial 250x16). XLA materializes the (B, heads, T, T) logits in HBM —
+512 MB in bf16 per level-0 attention, ~10 of them per UNet pass — making the
+UNet HBM-bound (measured 42 ms/step at MusicLDM scale). This kernel computes
+attention per (batch*head, q-block) with K/V fully VMEM-resident (T x 8 floats
+per head is tiny), so logits never touch HBM. Softmax runs in fp32 on the VPU;
+the two matmuls ride the MXU.
+
+Backward: guidance grads in DPS/MPGD/DSG/DiffMusic do NOT flow through the UNet
+(the loss differentiates the DDIM algebra around a constant eps — SURVEY.md
+section 3.3), so the hot path only needs forward. optim_prompt/DITTO do
+differentiate through the UNet: the custom VJP recomputes with the plain XLA
+path, trading peak-memory for correctness on those cold paths.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Q_BLOCK = 256
+
+# test hook: run the Pallas kernel in interpreter mode on CPU
+_INTERPRET = False
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, t_valid: int):
+    q = q_ref[0].astype(jnp.float32)          # (QB, D)
+    k = k_ref[0].astype(jnp.float32)          # (T_pad, D)
+    v = v_ref[0].astype(jnp.float32)          # (T_pad, D)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if t_valid != k.shape[0]:  # mask the zero-padded kv tail
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < t_valid, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _reference_attention(q, k, v, scale):
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+def _on_tpu() -> bool:
+    """True when lowering targets a TPU device (respects jax.default_device
+    contexts, e.g. the CPU-side param init in __graft_entry__._flagship)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", None) == "tpu"
+    return jax.default_backend() in ("tpu", "axon")
+
+
+@jax.custom_vjp
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Self-attention over (B, T, H, D) tensors (jax.nn.dot_product_attention
+    layout, no mask). Pallas on TPU; plain XLA elsewhere."""
+    if not _INTERPRET and not _on_tpu():
+        return _reference_attention(q, k, v, 1.0 / math.sqrt(q.shape[-1]))
+
+    b, t, h, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    tile = max(Q_BLOCK, 128)
+    t_pad = ((t + tile - 1) // tile) * tile
+
+    def fold(x):
+        x = jnp.swapaxes(x, 1, 2).reshape(b * h, t, d)
+        if t_pad != t:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        return x
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    kernel = functools.partial(_attn_kernel, scale=scale, t_valid=t)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(qf.shape, qf.dtype),
+        grid=(b * h, t_pad // Q_BLOCK),
+        in_specs=[
+            pl.BlockSpec((1, Q_BLOCK, d), lambda bb, i: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Q_BLOCK, d), lambda bb, i: (bb, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * t_pad * t_pad * d,
+            bytes_accessed=qf.dtype.itemsize * b * h * t_pad * d * 4,
+            transcendentals=b * h * t_pad * t_pad),
+        interpret=_INTERPRET,
+    )(qf, kf, vf)
+    out = out[:, :t].reshape(b, h, t, d)
+    return jnp.swapaxes(out, 1, 2)
+
+
+def _flash_fwd(q, k, v):
+    return flash_attention(q, k, v), (q, k, v)
+
+
+def _flash_bwd(res, g):
+    """Cold-path backward (optim_prompt/DITTO): XLA recompute of the logits."""
+    q, k, v = res
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    _, vjp = jax.vjp(lambda q_, k_, v_: _reference_attention(q_, k_, v_, scale),
+                     q, k, v)
+    return vjp(g.astype(q.dtype))
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
