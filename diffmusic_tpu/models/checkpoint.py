@@ -410,12 +410,13 @@ def load_audioldm2(checkpoint_dir, scheduler_name="ddim", operator=None,
         projection_dim=clap_json.get("projection_dim", 512))
 
     t5_json = _cfg(d / "text_encoder_2")
+    is_tts = t5_json.get("model_type") == "vits"  # AudioLDM2-TTS variant
     t5_cfg = T5Config(
         vocab_size=t5_json.get("vocab_size", 32128),
         d_model=t5_json.get("d_model", 1024),
         d_kv=t5_json.get("d_kv", 64),
         d_ff=t5_json.get("d_ff", 2816),
-        num_layers=t5_json.get("num_layers", 24),
+        num_layers=t5_json.get("num_layers", 24) if not is_tts else 2,
         num_heads=t5_json.get("num_heads", 16),
         is_gated_act="gated" in t5_json.get("feed_forward_proj", "gated-gelu"))
 
@@ -439,8 +440,26 @@ def load_audioldm2(checkpoint_dir, scheduler_name="ddim", operator=None,
     voc_params = convert.convert_hifigan(_load_module_sd(d / "vocoder"), voc_cfg)
     clap_sd = _load_module_sd(d / "text_encoder")
     txt_params = convert.convert_clap_text(clap_sd, txt_cfg)
-    t5_params = convert.convert_t5_encoder(_load_module_sd(d / "text_encoder_2"),
-                                           t5_cfg)
+
+    vits_cfg = vits_params = None
+    if is_tts:
+        # TTS variant: text_encoder_2 is a VITS text encoder; transcription
+        # drives the second cross-attention stream (plpeline_audioldm2.py:428-501)
+        from .vits import VitsConfig
+        vits_cfg = VitsConfig(
+            vocab_size=t5_json.get("vocab_size", 38),
+            hidden_size=t5_json.get("hidden_size", 192),
+            num_hidden_layers=t5_json.get("num_hidden_layers", 6),
+            num_attention_heads=t5_json.get("num_attention_heads", 2),
+            ffn_dim=t5_json.get("ffn_dim", 768),
+            ffn_kernel_size=t5_json.get("ffn_kernel_size", 3),
+            window_size=t5_json.get("window_size", 4))
+        vits_params = convert.convert_vits_text_encoder(
+            _load_module_sd(d / "text_encoder_2"), vits_cfg)
+        t5_params = None
+    else:
+        t5_params = convert.convert_t5_encoder(
+            _load_module_sd(d / "text_encoder_2"), t5_cfg)
     gpt2_sd = _load_module_sd(d / "language_model")
     # AudioLDM2 wraps GPT2Model under 'model.' in some snapshots
     gpt2_sd = {k[len("model."):] if k.startswith("model.") else k: v
@@ -479,7 +498,9 @@ def load_audioldm2(checkpoint_dir, scheduler_name="ddim", operator=None,
         t5_cfg=t5_cfg, gpt2_cfg=gpt2_cfg, proj_cfg=proj_cfg,
         t5_params=t5_params, gpt2_params=gpt2_params, proj_params=proj_params,
         t5_tokenizer=_make_hf_tokenizer(d / "tokenizer_2"),
-        max_new_tokens=max_new_tokens, clap_audio_embed=clap_audio_embed)
+        max_new_tokens=max_new_tokens, clap_audio_embed=clap_audio_embed,
+        vits_cfg=vits_cfg, vits_params=vits_params,
+        vits_tokenizer=_make_hf_tokenizer(d / "tokenizer_2") if is_tts else None)
 
 
 def load_stable_audio(checkpoint_dir, schedule=None, **_):

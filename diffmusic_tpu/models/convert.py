@@ -404,3 +404,41 @@ def convert_stable_audio_projection(state_dict: Dict) -> Dict:
         "start_number_conditioner": number_conditioner("start_number_conditioner"),
         "end_number_conditioner": number_conditioner("end_number_conditioner"),
     }}
+
+
+def convert_vits_text_encoder(state_dict: Dict, cfg) -> Dict:
+    """transformers VitsModel text_encoder state dict -> flax params for
+    diffmusic_tpu.models.vits.VitsTextEncoder. Accepts keys with or without the
+    'text_encoder.' prefix."""
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    if any(k.startswith("text_encoder.") for k in sd):
+        sd = {k[len("text_encoder."):]: v for k, v in sd.items()
+              if k.startswith("text_encoder.")}
+    p: Dict = {"embed_tokens": {"embedding": sd["embed_tokens.weight"]}}
+    for i in range(cfg.num_hidden_layers):
+        b = f"encoder.layers.{i}"
+        p[f"layers_{i}_attention"] = {
+            "q_proj": {"kernel": linear(sd[f"{b}.attention.q_proj.weight"]),
+                       "bias": sd[f"{b}.attention.q_proj.bias"]},
+            "k_proj": {"kernel": linear(sd[f"{b}.attention.k_proj.weight"]),
+                       "bias": sd[f"{b}.attention.k_proj.bias"]},
+            "v_proj": {"kernel": linear(sd[f"{b}.attention.v_proj.weight"]),
+                       "bias": sd[f"{b}.attention.v_proj.bias"]},
+            "out_proj": {"kernel": linear(sd[f"{b}.attention.out_proj.weight"]),
+                         "bias": sd[f"{b}.attention.out_proj.bias"]},
+            "emb_rel_k": sd[f"{b}.attention.emb_rel_k"],
+            "emb_rel_v": sd[f"{b}.attention.emb_rel_v"],
+        }
+        p[f"layers_{i}_layer_norm"] = {
+            "scale": sd[f"{b}.layer_norm.weight"],
+            "bias": sd[f"{b}.layer_norm.bias"]}
+        p[f"layers_{i}_feed_forward"] = {
+            "conv_1": {"kernel": conv1d(sd[f"{b}.feed_forward.conv_1.weight"]),
+                       "bias": sd[f"{b}.feed_forward.conv_1.bias"]},
+            "conv_2": {"kernel": conv1d(sd[f"{b}.feed_forward.conv_2.weight"]),
+                       "bias": sd[f"{b}.feed_forward.conv_2.bias"]},
+        }
+        p[f"layers_{i}_final_layer_norm"] = {
+            "scale": sd[f"{b}.final_layer_norm.weight"],
+            "bias": sd[f"{b}.final_layer_norm.bias"]}
+    return {"params": p}

@@ -45,20 +45,31 @@ class AudioLDM2Pipeline(MusicLDMPipeline):
     t5_tokenizer: Optional[Callable] = None
     max_new_tokens: int = 8
     clap_audio_embed: Optional[Callable] = None  # waveform -> pooled 512-d
+    # TTS variant: VITS text encoder replaces T5 for the transcription stream
+    # (reference plpeline_audioldm2.py:428-501)
+    vits_cfg: Optional[object] = None
+    vits_params: Optional[dict] = None
+    vits_tokenizer: Optional[Callable] = None
 
     def __post_init__(self):
         super().__post_init__()
         self.t5 = T5EncoderModel(self.t5_cfg)
         self.gpt2 = GPT2Model(self.gpt2_cfg)
         self.projection = AudioLDM2ProjectionModel(self.proj_cfg)
+        if self.vits_cfg is not None:
+            from ..models.vits import VitsTextEncoder
+            self.vits = VitsTextEncoder(self.vits_cfg)
 
     # ------------------------------------------------------------------ text
-    def _encode_one(self, text: str, measurement=None, prompt_type=None):
+    def _encode_one(self, text: str, measurement=None, prompt_type=None,
+                    transcription: str = ""):
         """One prompt -> (generated_gpt2_states, t5_seq, t5_mask).
 
         Mirrors plpeline_audioldm2.py:440-526: CLAP pooled (or CLAP audio features
         of the measurement when prompt_type == 'clap'), T5 sequence, projection
-        with SOS/EOS, GPT-2 embedding-space generation of 8 states.
+        with SOS/EOS, GPT-2 embedding-space generation of 8 states. For the TTS
+        variant a VITS text encoder encodes `transcription` instead of T5
+        encoding the prompt (plpeline_audioldm2.py:428-501).
         """
         if prompt_type == "clap":
             if self.clap_audio_embed is None:
@@ -75,10 +86,24 @@ class AudioLDM2Pipeline(MusicLDMPipeline):
         clap_seq = clap_pooled[:, None, :]          # (B, 1, 512)
         clap_mask = jnp.ones(clap_seq.shape[:2], jnp.int32)
 
-        t5_ids, t5_mask = self.t5_tokenizer([text])
-        t5_seq = self.t5.apply(self.t5_params, jnp.asarray(t5_ids),
-                               jnp.asarray(t5_mask))
-        t5_mask = jnp.asarray(t5_mask)
+        if transcription and self.vits_params is None:
+            raise ValueError(
+                "transcription (TTS) requires the AudioLDM2-TTS variant "
+                "with a VITS text encoder; load one via from_pretrained")
+        if self.vits_params is not None:
+            # TTS variant: the second stream is ALWAYS the VITS encoding of the
+            # transcription (empty for the negative/uncond branch), mirroring
+            # plpeline_audioldm2.py:428-501
+            v_ids, v_mask = (self.vits_tokenizer or self.t5_tokenizer)(
+                [transcription])
+            t5_seq = self.vits.apply(self.vits_params, jnp.asarray(v_ids),
+                                     jnp.asarray(v_mask))
+            t5_mask = jnp.asarray(v_mask)
+        else:
+            t5_ids, t5_mask = self.t5_tokenizer([text])
+            t5_seq = self.t5.apply(self.t5_params, jnp.asarray(t5_ids),
+                                   jnp.asarray(t5_mask))
+            t5_mask = jnp.asarray(t5_mask)
 
         projected, proj_mask = self.projection.apply(
             self.proj_params, clap_seq, t5_seq, clap_mask, t5_mask)
@@ -88,9 +113,9 @@ class AudioLDM2Pipeline(MusicLDMPipeline):
 
     def encode_prompt(self, prompt, negative_prompt=None,
                       do_classifier_free_guidance=True, measurement=None,
-                      prompt_type=None):
+                      prompt_type=None, transcription: str = ""):
         gen, t5_seq, t5_mask = self._encode_one(prompt or "", measurement,
-                                                prompt_type)
+                                                prompt_type, transcription)
         if not do_classifier_free_guidance:
             return gen, t5_seq, t5_mask
         ngen, nt5_seq, nt5_mask = self._encode_one(negative_prompt or "")
@@ -128,11 +153,12 @@ class AudioLDM2Pipeline(MusicLDMPipeline):
 
     def __call__(self, prompt=None, measurement=None, prompt_type=None,
                  guidance_scale: float = 3.5, negative_prompt=None,
-                 prompt_embeds=None, **kwargs):
+                 prompt_embeds=None, transcription: str = "", **kwargs):
         if prompt_embeds is None:
             prompt_embeds = self.encode_prompt(
                 prompt, negative_prompt, guidance_scale > 1.0,
-                measurement=measurement, prompt_type=prompt_type)
+                measurement=measurement, prompt_type=prompt_type,
+                transcription=transcription)
         return super().__call__(prompt=prompt, measurement=measurement,
                                 guidance_scale=guidance_scale,
                                 prompt_embeds=prompt_embeds, **kwargs)

@@ -215,6 +215,7 @@ def main() -> None:
             optim_outer_loop=config.scheduler.optim_outer_loop,
             show_progress=args.show_progress,
             prompt_type=args.prompt_type,
+            transcription=args.transcription,
             supervised_space=args.supervised_space,
             **config.model.pipe,
         )
