@@ -19,12 +19,34 @@ def _leaky(x, slope):
     return nn.leaky_relu(x, negative_slope=slope)
 
 
+class FusedConv1D(nn.Module):
+    """'same' dilated conv1d with fused input leaky-relu (+ optional residual)
+    via the Pallas kernel (pallas/conv1d_kernel.py). Param names/layout match
+    nn.Conv, so converted checkpoints and existing inits are interchangeable;
+    off-TPU it runs an identical-semantics lax.conv path.
+    """
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    slope: float | None = None
+
+    @nn.compact
+    def __call__(self, x, residual=None):
+        from ..pallas.conv1d_kernel import conv1d_fused
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.kernel_size, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return conv1d_fused(x, kernel, bias, residual, self.dilation,
+                            self.slope, residual is not None)
+
+
 class ResidualBlock(nn.Module):
     """HifiGanResidualBlock: (lrelu -> dilated conv -> lrelu -> conv) + skip, xN.
 
-    Perf note: lax.conv lowering is the fastest formulation tried at these
-    shapes on v5e (22.7 ms/10-s fwd); a shifted-matmul decomposition measured
-    52 ms/step and was reverted.
+    Each conv is one fused Pallas kernel call: XLA's conv lowering moved
+    10.45 GB HBM per vocoder forward (im2col materialization); the fused path
+    reads x and w once per conv. A shifted-matmul decomposition was also tried
+    and reverted (52 vs 22.7 ms/step).
     """
     channels: int
     kernel_size: int
@@ -34,16 +56,10 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate(self.dilations):
-            res = x
-            h = _leaky(x, self.slope)
-            pad = (self.kernel_size - 1) * d // 2
-            h = nn.Conv(self.channels, (self.kernel_size,), kernel_dilation=(d,),
-                        padding=[(pad, pad)], name=f"convs1_{i}")(h)
-            h = _leaky(h, self.slope)
-            pad = (self.kernel_size - 1) // 2
-            h = nn.Conv(self.channels, (self.kernel_size,),
-                        padding=[(pad, pad)], name=f"convs2_{i}")(h)
-            x = h + res
+            h = FusedConv1D(self.channels, self.kernel_size, dilation=d,
+                            slope=self.slope, name=f"convs1_{i}")(x)
+            x = FusedConv1D(self.channels, self.kernel_size,
+                            slope=self.slope, name=f"convs2_{i}")(h, residual=x)
         return x
 
 
