@@ -11,12 +11,18 @@ profile to converted checkpoints.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent executable cache: repeat bench runs skip the multi-minute compile
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/diffmusic_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 BASELINE_WALL_S = 10.0
 NUM_STEPS = 200
