@@ -35,7 +35,7 @@ def _sublane_round(n: int, dtype) -> int:
 
 def _conv_kernel(x_hbm, w_ref, b_ref, r_ref, out_ref, xs_ref, sem, *,
                  k: int, dilation: int, halo: int, slope: float,
-                 has_residual: bool):
+                 has_residual: bool, adjoint: bool = False):
     b = pl.program_id(0)
     i = pl.program_id(1)
     tbh = TIME_BLOCK + halo
@@ -54,10 +54,14 @@ def _conv_kernel(x_hbm, w_ref, b_ref, r_ref, out_ref, xs_ref, sem, *,
 
     acc = None
     for j in range(k):
-        # bf16 x bf16 -> fp32 accumulate rides the MXU at native rate
+        # bf16 x bf16 -> fp32 accumulate rides the MXU at native rate.
+        # adjoint mode contracts the OUTPUT-channel dim of the flipped tap,
+        # so the backward never materializes a transposed weight tensor
+        w_tap = w_ref[k - 1 - j] if adjoint else w_ref[j]
+        dims = (((1,), (1,)), ((), ())) if adjoint else (((1,), (0,)), ((), ()))
         tap = jax.lax.dot_general(
-            xs[j * dilation:j * dilation + TIME_BLOCK, :], w_ref[j],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            xs[j * dilation:j * dilation + TIME_BLOCK, :], w_tap, dims,
+            preferred_element_type=jnp.float32)
         acc = tap if acc is None else acc + tap
     acc = acc + b_ref[:, :].astype(jnp.float32)
     if has_residual:
@@ -65,10 +69,15 @@ def _conv_kernel(x_hbm, w_ref, b_ref, r_ref, out_ref, xs_ref, sem, *,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _conv1d_pallas(x, w, b, dilation: int, slope, residual):
-    """x: (B, T, Cin); w: (k, Cin, Cout); 'same' padding, odd k."""
+def _conv1d_pallas(x, w, b, dilation: int, slope, residual,
+                   adjoint: bool = False):
+    """x: (B, T, Cin); w: (k, Cin, Cout); 'same' padding, odd k.
+
+    adjoint=True computes the cotangent conv (flip taps, contract Cout);
+    then x is the output-space cotangent and the result has Cin channels."""
     bsz, t, cin = x.shape
-    k, _, cout = w.shape
+    k = w.shape[0]
+    cout = w.shape[1] if adjoint else w.shape[2]
     pad = (k - 1) * dilation // 2
     halo = _sublane_round((k - 1) * dilation, x.dtype)
     blocks = math.ceil(t / TIME_BLOCK)
@@ -84,7 +93,8 @@ def _conv1d_pallas(x, w, b, dilation: int, slope, residual):
     rp = jnp.pad(r, ((0, 0), (0, blocks * TIME_BLOCK - r.shape[1]), (0, 0)))
 
     kernel = functools.partial(_conv_kernel, k=k, dilation=dilation, halo=halo,
-                               slope=slope, has_residual=has_residual)
+                               slope=slope, has_residual=has_residual,
+                               adjoint=adjoint)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bsz, blocks * TIME_BLOCK, cout),
@@ -92,7 +102,7 @@ def _conv1d_pallas(x, w, b, dilation: int, slope, residual):
         grid=(bsz, blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),               # x stays in HBM
-            pl.BlockSpec((k, cin, cout), lambda b_, i: (0, 0, 0),
+            pl.BlockSpec(w.shape, lambda b_, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),           # weights resident
             pl.BlockSpec((1, cout), lambda b_, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -161,11 +171,12 @@ def _conv1d_bwd(dilation, slope, has_residual, res, g):
     x, w = res
     # adjoint of 'same' odd-k dilated conv = same conv with flipped-transposed
     # kernel; then the leaky-relu derivative mask
-    w_adj = jnp.flip(w, axis=0).swapaxes(1, 2)  # (k, Cout, Cin)
     zero_b = jnp.zeros((w.shape[1],), g.dtype)  # adjoint out-channels = Cin
-    if _BWD_IMPL == "pallas":
-        dx = conv1d_fused(g, w_adj, zero_b, None, dilation, None, False)
+    aligned = g.shape[-1] % 128 == 0 and w.shape[1] % 128 == 0
+    if _BWD_IMPL == "pallas" and (aligned or _INTERPRET):
+        dx = _conv1d_pallas(g, w, zero_b, dilation, None, None, adjoint=True)
     else:
+        w_adj = jnp.flip(w, axis=0).swapaxes(1, 2)  # (k, Cout, Cin)
         dx = _conv1d_reference(g, w_adj, zero_b, dilation, None, None)
     if slope is not None:
         dx = jnp.where(x >= 0, dx, slope * dx)
