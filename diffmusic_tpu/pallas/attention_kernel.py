@@ -29,20 +29,25 @@ Q_BLOCK = 256
 _INTERPRET = False
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, t_valid: int):
-    q = q_ref[0].astype(jnp.float32)          # (QB, D)
-    k = k_ref[0].astype(jnp.float32)          # (T_pad, D)
-    v = v_ref[0].astype(jnp.float32)          # (T_pad, D)
+def _attn_kernel(q_ref, kt_ref, v_ref, out_ref, *, scale: float, t_valid: int):
+    """K arrives pre-transposed as (D, T_pad): both matmuls are then standard
+    (M, K) @ (K, N) orientations — contracting the LANE dim of k in-kernel made
+    Mosaic insert per-block transposes (measured ~0.86 ms per level-0
+    attention; this layout is ~3x faster)."""
+    q = q_ref[0]                               # (QB, D)
+    kt = kt_ref[0]                             # (D, T_pad)
+    v = v_ref[0]                               # (T_pad, D)
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    if t_valid != k.shape[0]:  # mask the zero-padded kv tail
+    if t_valid != v.shape[0]:  # mask the zero-padded kv tail
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < t_valid, s, -1e30)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    out = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+    out = jnp.dot(p.astype(v.dtype), v,
+                  preferred_element_type=jnp.float32) / denom
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -80,7 +85,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
             x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
         return x
 
-    qf, kf, vf = fold(q), fold(k), fold(v)
+    qf, vf = fold(q), fold(v)
+    ktf = jnp.swapaxes(fold(k), 1, 2)  # (BH, D, T_pad): MXU-standard layout
     kernel = functools.partial(_attn_kernel, scale=scale, t_valid=t)
     out = pl.pallas_call(
         kernel,
@@ -89,7 +95,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
         in_specs=[
             pl.BlockSpec((1, Q_BLOCK, d), lambda bb, i: (bb, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, d), lambda bb, i: (bb, 0, 0),
+            pl.BlockSpec((1, d, t_pad), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, d), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -101,7 +107,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
             bytes_accessed=qf.dtype.itemsize * b * h * t_pad * d * 4,
             transcendentals=b * h * t_pad * t_pad),
         interpret=_INTERPRET,
-    )(qf, kf, vf)
+    )(qf, ktf, vf)
     out = out[:, :t].reshape(b, h, t, d)
     return jnp.swapaxes(out, 1, 2)
 
