@@ -127,3 +127,41 @@ def save_mel_spectrogram(mel: np.ndarray, path, sample_rate: int = 16000,
     fig.tight_layout()
     fig.savefig(path, dpi=100)
     plt.close(fig)
+
+
+def mel_spectrogram_to_waveform_with_phase(mel, phase, n_fft: int = 1024,
+                                           hop_length: int = 160,
+                                           win_length: int = 1024,
+                                           sample_rate: int = 16000,
+                                           original_waveform_length: int = 0):
+    """Phase-aware mel -> waveform: pinv mel inversion + known-phase iSTFT.
+
+    Reference: pipeline_musicldm.py:263-301 (torchaudio's iterative
+    InverseMelScale replaced by the jit/grad-friendly pinv projection in
+    ops.mel.InverseMelScale; the scatter-free istft in ops.stft).
+    mel: (B, 1, T, n_mels) or (B, T, n_mels) magnitude-scale mel;
+    phase: (..., n_freqs, frames) from ops.stft.magphase_spectrogram.
+    """
+    import jax.numpy as jnp
+    from ..ops.mel import InverseMelScale
+    from ..ops.stft import istft
+
+    if mel.ndim == 4:
+        mel = mel[:, 0]
+    mel = jnp.swapaxes(mel, -1, -2)  # (B, n_mels, T)
+    linear = InverseMelScale(n_stft=n_fft // 2 + 1, n_mels=mel.shape[-2],
+                             sample_rate=sample_rate)(mel)
+    frames = min(linear.shape[-1], phase.shape[-1])
+    linear = linear[..., :frames]
+    phase = phase[..., :frames]
+    re = linear * jnp.cos(phase)
+    im = linear * jnp.sin(phase)
+    wav = istft(re, im, n_fft=n_fft, hop_length=hop_length,
+                win_length=win_length)
+    if original_waveform_length > 0:
+        if wav.shape[-1] > original_waveform_length:
+            wav = wav[..., :original_waveform_length]
+        elif wav.shape[-1] < original_waveform_length:
+            pad = original_waveform_length - wav.shape[-1]
+            wav = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(0, pad)])
+    return wav

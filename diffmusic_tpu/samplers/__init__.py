@@ -10,6 +10,7 @@ program. Guidance gradients are `jax.grad` of the loss chain (VAE decode -> voco
 
 from .schedule import DiffusionSchedule
 from .steps import (
+    InverseProblemSchedulerOutput,
     SamplerConfig,
     make_step_fn,
     ddim_step,

@@ -214,3 +214,17 @@ def make_step_fn(schedule: DiffusionSchedule, cfg: SamplerConfig,
     def step(eps, t, sample, key):
         return raw(schedule, cfg, eps, t, sample, key, loss_fn)
     return step
+
+
+@dataclass
+class InverseProblemSchedulerOutput:
+    """API-compat output record (reference schedulers/utils.py:8-16). The
+    samplers themselves are pure functions returning (prev, x0, loss) tuples —
+    this wrapper exists for users porting reference code that reads fields."""
+    prev_sample: jax.Array
+    pred_original_sample: jax.Array = None
+    loss: jax.Array = None
+    sample: jax.Array = None
+    encoder_hidden_states: jax.Array = None
+    encoder_hidden_states_1: jax.Array = None
+    init_latents: jax.Array = None

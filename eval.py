@@ -13,8 +13,10 @@ def parse_arguments():
     p = ArgumentParser()
     p.add_argument("-gt", "--ground_truth_dir", type=str, required=True)
     p.add_argument("-r", "--recon_dir", type=str, required=True)
-    p.add_argument("--embedding", type=str, default="mfcc-stack",
-                   help="embedding model for FAD/KL (offline default: mfcc-stack)")
+    p.add_argument("--embedding", type=str, nargs="+", default=["mfcc-stack"],
+                   help="embedding model(s) for FAD/KL — the reference loops "
+                        "clap-laion-audio/music, vggish, w2v2-base "
+                        "(eval.py:56-66); offline default: mfcc-stack")
     p.add_argument("--fad_inf", action="store_true",
                    help="also compute FAD-inf extrapolation")
     p.add_argument("--individual", type=str, default=None,
@@ -44,20 +46,25 @@ def main():
     if not gt or not recon:
         raise SystemExit("no .wav files found in one of the directories")
 
-    model = get_embedding_model(args.embedding)
-    engine = FADEngine(model=model)
-
     scores = {}
-    scores[f"FAD ({model.name})"] = engine.score(args.ground_truth_dir,
-                                                 args.recon_dir)
-    if args.fad_inf:
-        fad_inf, slope = engine.score_inf(args.ground_truth_dir, args.recon_dir)
-        scores[f"FAD-inf ({model.name})"] = fad_inf
-    if args.individual:
-        engine.score_individual(args.ground_truth_dir, args.recon_dir,
-                                args.individual)
+    first_model = None
+    for name in args.embedding:  # per-model FAD loop (reference eval.py:56-73)
+        from diffmusic_tpu.fadtk import get_model
+        model = get_model(name) if name != "mfcc-stack" \
+            else get_embedding_model(name)
+        first_model = first_model or model
+        engine = FADEngine(model=model)
+        scores[f"FAD ({name})"] = engine.score(args.ground_truth_dir,
+                                               args.recon_dir)
+        if args.fad_inf:
+            fad_inf, slope = engine.score_inf(args.ground_truth_dir,
+                                              args.recon_dir)
+            scores[f"FAD-inf ({name})"] = fad_inf
+        if args.individual:
+            engine.score_individual(args.ground_truth_dir, args.recon_dir,
+                                    args.individual)
 
-    scores["KL"] = KullbackLeiblerDivergence(embed_fn=model).score(gt, recon)
+    scores["KL"] = KullbackLeiblerDivergence(embed_fn=first_model).score(gt, recon)
     scores["LSD"] = LogSpectralDistance().score(gt, recon)
     scores["MSE"] = MeanSquaredError().score(gt, recon)
 
