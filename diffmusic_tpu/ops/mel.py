@@ -149,20 +149,16 @@ class MelSpectrogram:
     f_max: float | None = None
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        # NOTE: inside guidance grads the plain-XLA path is faster end-to-end
-        # (XLA fuses it into the surrounding program and shares activations
-        # with its VJP; measured 82 vs 111 ms/step at MusicLDM 10-s scale), so
-        # it stays the default. The fused Pallas kernel
-        # (pallas.mel_kernel.fused_mel_spectrogram, 10.8x faster standalone)
-        # is used by forward-only paths (metrics/eval embeddings).
-        from .stft import spectrogram
-        spec = spectrogram(x, self.n_fft, self.hop_length, self.win_length,
-                           power=self.power, center=True, use_hann=True)
-        fb = jnp.asarray(
-            mel_filterbank(self.n_fft // 2 + 1, self.n_mels, self.sample_rate,
-                           self.f_min, self.f_max),
-            dtype=spec.dtype)
-        return jnp.einsum("...ft,fm->...mt", spec, fb)
+        # XLA forward (fuses into the surrounding program — the all-Pallas
+        # forward measured slower inside guidance grads: 111 vs 82 ms/step),
+        # with a manual scatter-free backward (autodiff's frame-gather VJP is
+        # a whole-signal scatter). The standalone fused Pallas forward
+        # (pallas.mel_kernel.fused_mel_spectrogram, 10.8x faster) serves the
+        # forward-only metrics/eval paths.
+        from ..pallas.mel_kernel import mel_spectrogram_fast_grad
+        return mel_spectrogram_fast_grad(
+            x, self.n_fft, self.hop_length, self.win_length, self.n_mels,
+            self.sample_rate, self.f_min, self.f_max, self.power, True)
 
 
 @dataclass(frozen=True)

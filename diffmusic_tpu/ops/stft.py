@@ -9,6 +9,7 @@ complex dtypes entirely, and gives exact, cheap gradients for the guidance backw
 pass.
 """
 
+import functools
 from functools import partial
 
 import jax
@@ -105,11 +106,14 @@ def overlap_add(frames: jax.Array, hop_length: int) -> jax.Array:
     fr = jnp.pad(frames, [(0, 0)] * len(batch) + [(0, 0), (0, pad)])
     fr = fr.reshape(*batch, t, k, hop_length)
     out_len = (t + k - 1) * hop_length
-    out = jnp.zeros((*batch, out_len), frames.dtype)
-    for c in range(k):
-        chunk = fr[..., :, c, :].reshape(*batch, t * hop_length)
-        out = out.at[..., c * hop_length:c * hop_length + t * hop_length].add(
-            chunk)  # static contiguous slice: lowers to pad+add, not scatter
+    th = t * hop_length
+    bpad = [(0, 0)] * len(batch)
+    # k padded copies summed in one tree — all-parallel adds, no in-place
+    # update chain for XLA to serialize
+    shifted = [jnp.pad(fr[..., :, c, :].reshape(*batch, th),
+                       bpad + [(c * hop_length, out_len - th - c * hop_length)])
+               for c in range(k)]
+    out = functools.reduce(jnp.add, shifted)
     return out[..., :(t - 1) * hop_length + n_fft]
 
 

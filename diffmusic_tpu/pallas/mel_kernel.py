@@ -249,3 +249,29 @@ def _fused_mel_bwd(n_fft, hop_length, win_length, n_mels, sample_rate, f_min,
 
 
 fused_mel_spectrogram.defvjp(_fused_mel_fwd, _fused_mel_bwd)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
+def mel_spectrogram_fast_grad(x: jax.Array, n_fft: int = 1024,
+                              hop_length: int = 160, win_length: int = 1024,
+                              n_mels: int = 64, sample_rate: int = 16000,
+                              f_min: float = 0.0, f_max: Optional[float] = None,
+                              power: float = 2.0,
+                              use_hann: bool = True) -> jax.Array:
+    """XLA forward (fuses with surrounding programs / shares activations) +
+    the manual scatter-free backward. The guidance loss differentiates the mel
+    transform every step; autodiff's VJP of the frame gather is a scatter over
+    the whole signal."""
+    return _reference_mel(x, n_fft, hop_length, win_length, n_mels,
+                          sample_rate, f_min, f_max, power, use_hann)
+
+
+def _fast_grad_fwd(x, n_fft, hop_length, win_length, n_mels, sample_rate,
+                   f_min, f_max, power, use_hann):
+    out = mel_spectrogram_fast_grad(x, n_fft, hop_length, win_length, n_mels,
+                                    sample_rate, f_min, f_max, power, use_hann)
+    return out, x
+
+
+mel_spectrogram_fast_grad.defvjp(_fast_grad_fwd, _fused_mel_bwd)
