@@ -122,6 +122,52 @@ class FeedForward(nn.Module):
         return nn.Dense(dim, name="proj_out")(h)
 
 
+class _LNParams(nn.Module):
+    """Declares nn.LayerNorm's exact param tree, returning the raw arrays."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        return (self.param("scale", nn.initializers.ones, (dim,)),
+                self.param("bias", nn.initializers.zeros, (dim,)))
+
+
+class _DenseParams(nn.Module):
+    """Declares nn.Dense's exact param tree, returning the raw arrays."""
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (cin, self.features))
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,)) if self.use_bias else None
+        return k, b
+
+
+class _AttnParams(nn.Module):
+    inner: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        wq, _ = _DenseParams(self.inner, False, name="to_q")(cin)
+        wk, _ = _DenseParams(self.inner, False, name="to_k")(cin)
+        wv, _ = _DenseParams(self.inner, False, name="to_v")(cin)
+        wo, bo = _DenseParams(cin, True, name="to_out")(self.inner)
+        return wq, wk, wv, wo, bo
+
+
+class _FFParams(nn.Module):
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, dim: int):
+        inner = dim * self.mult
+        wi, bi = _DenseParams(inner * 2, True, name="proj_in")(dim)
+        wo2, bo2 = _DenseParams(dim, True, name="proj_out")(inner)
+        return wi, bi, wo2, bo2
+
+
 class BasicTransformerBlock(nn.Module):
     """Self-attn [+ up to two cross-attn streams] + GEGLU FF, pre-LayerNorm.
 
@@ -129,6 +175,13 @@ class BasicTransformerBlock(nn.Module):
     self-attention-only (MusicLDM), one entry for a single stream, two for
     AudioLDM2's dual conditioning (GPT-2 stream + T5 stream, reference
     plpeline_audioldm2.py:1147-1154).
+
+    The self-attention-only variant on long sequences runs as ONE fused Pallas
+    block (pallas/transformer_kernel.py): the UNet is memory-bound (297 GF vs
+    5.8 GB HBM traffic per CFG pass) and the fusion keeps the whole block's
+    intermediates in VMEM. The param tree is identical between paths (the
+    _*Params holders declare exactly nn.LayerNorm/nn.Dense's trees), so
+    checkpoints and the converter are unaffected.
     """
     heads: int
     head_dim: int
@@ -136,6 +189,18 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, contexts=(), context_masks=()):
+        inner = self.heads * self.head_dim
+        if not self.cross_dims and x.shape[1] >= 512 and inner == x.shape[-1]:
+            from ..pallas.transformer_kernel import fused_transformer_block
+            s1, b1 = _LNParams(name="norm1")(x.shape[-1])
+            wq, wk, wv, wo, bo = _AttnParams(inner, name="attn1")(x.shape[-1])
+            s3, b3 = _LNParams(name="norm3")(x.shape[-1])
+            wi, bi, wo2, bo2 = _FFParams(name="ff")(x.shape[-1])
+            p = dict(ln1_scale=s1, ln1_bias=b1, wq=wq, wk=wk, wv=wv, wo=wo,
+                     bo=bo, ln3_scale=s3, ln3_bias=b3, wi=wi, bi=bi, wo2=wo2,
+                     bo2=bo2)
+            return fused_transformer_block(x, p, self.heads, self.head_dim)
+
         h = nn.LayerNorm(name="norm1")(x)
         x = x + Attention(self.heads, self.head_dim, name="attn1")(h)
         for i, _ in enumerate(self.cross_dims):

@@ -1,0 +1,202 @@
+"""Fused self-attention transformer block Pallas kernel (MusicLDM UNet path).
+
+The UNet is memory-bound: 297 GF but 5.83 GB of HBM traffic per CFG forward
+(cost analysis) — every LN / projection / FF round-trips activations through
+HBM. This kernel computes one BasicTransformerBlock
+(LN1 -> attention -> +res -> LN3 -> GEGLU FF -> +res) per (batch, q-block)
+with K/V and all block weights VMEM-resident: x is read once and the result
+written once per block.
+
+K and V for the full sequence are computed outside (two large XLA GEMMs over
+LN1(x)); the kernel recomputes LN1 per q-block (cheap, keeps x the only
+activation input). Per-head logits use the kT (C, T) fp32 layout so the
+8-row head slices are sublane-aligned.
+
+Backward (optim_prompt / DITTO only; DPS-family guidance never differentiates
+the UNet): XLA recompute via the reference composition.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QB = 128
+
+# test hook: run in interpreter mode on CPU
+_INTERPRET = False
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| < 1.5e-7): Mosaic has no
+    erf/erfc lowering, and exact GELU (diffusers GEGLU) needs one."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    xf = x.astype(jnp.float32)
+    return 0.5 * xf * (1.0 + _erf(xf / jnp.sqrt(2.0).astype(jnp.float32)))
+
+
+def _layer_norm(x, scale, bias, eps=1e-6):  # flax nn.LayerNorm default eps
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    return (xf - mu) * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32) \
+        + bias.astype(jnp.float32)
+
+
+def _block_kernel(x_ref, kt_ref, v_ref, ln1_ref, wq_ref, wo_ref, bo_ref,
+                  ln3_ref, wi_ref, bi_ref, wo2_ref, bo2_ref, out_ref, *,
+                  heads: int, head_dim: int, t_valid: int, scale: float):
+    x = x_ref[0]                                # (QB, C) input dtype
+    kt = kt_ref[0]                              # (C, T_pad) fp32
+    v = v_ref[0, :, :]                          # (T_pad, C) value
+
+    h1 = _layer_norm(x, ln1_ref[0, :], ln1_ref[1, :])     # (QB, C) fp32
+    q = jnp.dot(h1.astype(x.dtype), wq_ref[:, :],
+                preferred_element_type=jnp.float32)        # (QB, C)
+
+    outs = []
+    for h in range(heads):
+        lo = h * head_dim
+        qh = q[:, lo:lo + head_dim].astype(jnp.float32)    # (QB, D)
+        kth = kt[lo:lo + head_dim, :]                      # (D, T) sublane slice
+        s = jax.lax.dot_general(qh, kth, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if t_valid != v.shape[0]:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < t_valid, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        vh = v[:, lo:lo + head_dim].astype(x.dtype)        # (T, D)
+        oh = jnp.dot(p.astype(x.dtype), vh,
+                     preferred_element_type=jnp.float32) / denom
+        outs.append(oh)
+    attn = jnp.concatenate(outs, axis=-1)                  # (QB, C) fp32
+
+    attn = jnp.dot(attn.astype(x.dtype), wo_ref[:, :],
+                   preferred_element_type=jnp.float32) + bo_ref[0, :]
+    res1 = x.astype(jnp.float32) + attn                    # residual 1
+
+    h2 = _layer_norm(res1, ln3_ref[0, :], ln3_ref[1, :])
+    ff = jnp.dot(h2.astype(x.dtype), wi_ref[:, :],
+                 preferred_element_type=jnp.float32) + bi_ref[0, :]
+    a, g = jnp.split(ff, 2, axis=-1)
+    gg = a * _gelu_exact(g)
+    y = jnp.dot(gg.astype(x.dtype), wo2_ref[:, :],
+                preferred_element_type=jnp.float32) + bo2_ref[0, :]
+    out_ref[0] = (res1 + y).astype(out_ref.dtype)
+
+
+def _reference_block(x, p, heads, head_dim):
+    """Plain-XLA composition with identical semantics (CPU path + backward)."""
+    scale = 1.0 / math.sqrt(head_dim)
+    h1 = _layer_norm(x, p["ln1_scale"], p["ln1_bias"]).astype(x.dtype)
+    q = h1 @ p["wq"]
+    k = h1 @ p["wk"]
+    v = h1 @ p["wv"]
+    b, t, c = x.shape
+    qh = q.reshape(b, t, heads, head_dim)
+    kh = k.reshape(b, t, heads, head_dim)
+    vh = v.reshape(b, t, heads, head_dim)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh.astype(jnp.float32),
+                   kh.astype(jnp.float32)) * scale
+    pr = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", pr, vh.astype(jnp.float32))
+    o = o.reshape(b, t, c).astype(x.dtype)
+    res1 = x + (o @ p["wo"] + p["bo"]).astype(x.dtype)
+    h2 = _layer_norm(res1, p["ln3_scale"], p["ln3_bias"]).astype(x.dtype)
+    ff = h2 @ p["wi"] + p["bi"]
+    a, g = jnp.split(ff, 2, axis=-1)
+    gg = a * jax.nn.gelu(g, approximate=False)
+    return res1 + (gg @ p["wo2"] + p["bo2"]).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_transformer_block(x, p, heads: int, head_dim: int):
+    """x: (B, T, C); p: dict of block params (ln1_*, wq/wk/wv/wo/bo, ln3_*,
+    wi/bi, wo2/bo2). Self-attention-only BasicTransformerBlock."""
+    from .attention_kernel import _on_tpu
+    if not _INTERPRET and not _on_tpu():
+        return _reference_block(x, p, heads, head_dim)
+
+    b, t, c = x.shape
+    t_pad = ((t + QB - 1) // QB) * QB
+    scale = 1.0 / math.sqrt(head_dim)
+
+    h1 = _layer_norm(x, p["ln1_scale"], p["ln1_bias"]).astype(x.dtype)
+    k = jnp.einsum("btc,cd->btd", h1, p["wk"])
+    v = jnp.einsum("btc,cd->btd", h1, p["wv"])
+    if t_pad != t:
+        xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, t_pad - t), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, t_pad - t), (0, 0)))
+    else:
+        xp = x
+    kt = jnp.swapaxes(k, 1, 2).astype(jnp.float32)  # (B, C, T_pad)
+
+    stack2 = lambda s_, b_: jnp.stack([p[s_], p[b_]]).astype(x.dtype)
+    kernel = functools.partial(_block_kernel, heads=heads, head_dim=head_dim,
+                               t_valid=t, scale=scale)
+    full = lambda shape: pl.BlockSpec(shape, lambda bb, i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), x.dtype),
+        grid=(b, t_pad // QB),
+        in_specs=[
+            pl.BlockSpec((1, QB, c), lambda bb, i: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, t_pad), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, c), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((2, c)),                      # ln1 scale/bias
+            full((c, c)),                      # wq
+            full((c, c)),                      # wo
+            full((1, c)),                      # bo
+            full((2, c)),                      # ln3
+            full((c, p["wi"].shape[1])),       # wi
+            full((1, p["wi"].shape[1])),       # bi
+            full((p["wo2"].shape[0], c)),      # wo2
+            full((1, c)),                      # bo2
+        ],
+        out_specs=pl.BlockSpec((1, QB, c), lambda bb, i: (bb, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t_pad * (t_pad * c * 2 + c * c * 2
+                                   + c * p["wi"].shape[1] * 3),
+            bytes_accessed=x.dtype.itemsize * b * t_pad * c * 8,
+            transcendentals=b * t_pad * t_pad),
+        interpret=_INTERPRET,
+    )(xp, kt, v, stack2("ln1_scale", "ln1_bias"), p["wq"].astype(x.dtype),
+      p["wo"].astype(x.dtype), p["bo"].astype(x.dtype)[None],
+      stack2("ln3_scale", "ln3_bias"), p["wi"].astype(x.dtype),
+      p["bi"].astype(x.dtype)[None], p["wo2"].astype(x.dtype),
+      p["bo2"].astype(x.dtype)[None])
+    return out[:, :t]
+
+
+def _ftb_fwd(x, p, heads, head_dim):
+    return fused_transformer_block(x, p, heads, head_dim), (x, p)
+
+
+def _ftb_bwd(heads, head_dim, res, g):
+    x, p = res
+    _, vjp = jax.vjp(lambda x_, p_: _reference_block(x_, p_, heads, head_dim),
+                     x, p)
+    return vjp(g.astype(x.dtype))
+
+
+fused_transformer_block.defvjp(_ftb_fwd, _ftb_bwd)

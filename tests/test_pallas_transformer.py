@@ -1,0 +1,87 @@
+"""Fused transformer-block kernel vs the unfused module composition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import diffmusic_tpu.pallas.transformer_kernel as tk
+from diffmusic_tpu.models.layers import BasicTransformerBlock
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    tk._INTERPRET = True
+    yield
+    tk._INTERPRET = False
+
+
+def _unfused_composition(x, params, heads, head_dim):
+    """Original LN->attn->res->LN->GEGLU composition from the same params."""
+    import flax.linen as nn
+    p = params["params"]
+
+    def ln(h, q):
+        return nn.LayerNorm(name="x").apply(
+            {"params": {"scale": p[q]["scale"], "bias": p[q]["bias"]}}, h)
+
+    h = ln(x, "norm1")
+    a = p["attn1"]
+    b, t, c = x.shape
+    q = (h @ a["to_q"]["kernel"]).reshape(b, t, heads, head_dim)
+    k = (h @ a["to_k"]["kernel"]).reshape(b, t, heads, head_dim)
+    v = (h @ a["to_v"]["kernel"]).reshape(b, t, heads, head_dim)
+    o = jax.nn.dot_product_attention(q, k, v).reshape(b, t, c)
+    x = x + o @ a["to_out"]["kernel"] + a["to_out"]["bias"]
+    h = ln(x, "norm3")
+    f = p["ff"]
+    hidden = h @ f["proj_in"]["kernel"] + f["proj_in"]["bias"]
+    hh, gate = jnp.split(hidden, 2, axis=-1)
+    hh = hh * jax.nn.gelu(gate, approximate=False)
+    return x + hh @ f["proj_out"]["kernel"] + f["proj_out"]["bias"]
+
+
+class TestFusedTransformerBlock:
+    @pytest.mark.parametrize("t", [600, 1000])  # >= 512 routes to fused
+    def test_matches_unfused(self, rng, t):
+        heads, head_dim = 4, 8
+        c = heads * head_dim
+        x = jnp.asarray(rng.standard_normal((2, t, c)) * 0.3, jnp.float32)
+        blk = BasicTransformerBlock(heads, head_dim)
+        params = blk.init(jax.random.key(0), x)
+        got = blk.apply(params, x)  # fused path (t >= 512, interpret)
+        want = _unfused_composition(x, params, heads, head_dim)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_param_tree_matches_unfused_variant(self, rng):
+        """Both routing choices must declare the identical param tree, so a
+        tree initialized short (unfused) works long (fused) and vice versa."""
+        heads, head_dim = 4, 8
+        c = heads * head_dim
+        blk = BasicTransformerBlock(heads, head_dim)
+        short = blk.init(jax.random.key(0), jnp.zeros((1, 100, c)))
+        long = blk.init(jax.random.key(0), jnp.zeros((1, 600, c)))
+
+        def shapes(tree):
+            return {jax.tree_util.keystr(k): np.asarray(v).shape
+                    for k, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+        assert shapes(short) == shapes(long)
+        # cross-initialized apply works
+        y = blk.apply(short, jnp.asarray(rng.standard_normal((1, 600, c)),
+                                         jnp.float32))
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_gradient_through_fused(self, rng):
+        heads, head_dim = 2, 8
+        c = heads * head_dim
+        x = jnp.asarray(rng.standard_normal((1, 600, c)) * 0.3, jnp.float32)
+        blk = BasicTransformerBlock(heads, head_dim)
+        params = blk.init(jax.random.key(0), x)
+        g = jax.grad(lambda x_: jnp.sum(blk.apply(params, x_) ** 2))(x)
+        tk._INTERPRET = False  # unfused reference path on CPU
+        g_ref = jax.grad(lambda x_: jnp.sum(
+            _unfused_composition(x_, params, heads, head_dim) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=2e-3, atol=2e-3)
