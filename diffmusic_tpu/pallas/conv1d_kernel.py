@@ -169,15 +169,19 @@ _BWD_IMPL = "xla"
 
 def _conv1d_bwd(dilation, slope, has_residual, res, g):
     x, w = res
+    # the cotangent arrives in the loss dtype (fp32); run the adjoint conv in
+    # the WEIGHT dtype (bf16 in production) — fp32 matmuls run at a fraction
+    # of the MXU's bf16 rate and the guidance chain is bf16 throughout anyway
+    g16 = g.astype(w.dtype)
     # adjoint of 'same' odd-k dilated conv = same conv with flipped-transposed
     # kernel; then the leaky-relu derivative mask
-    zero_b = jnp.zeros((w.shape[1],), g.dtype)  # adjoint out-channels = Cin
+    zero_b = jnp.zeros((w.shape[1],), w.dtype)  # adjoint out-channels = Cin
     aligned = g.shape[-1] % 128 == 0 and w.shape[1] % 128 == 0
     if _BWD_IMPL == "pallas" and (aligned or _INTERPRET):
-        dx = _conv1d_pallas(g, w, zero_b, dilation, None, None, adjoint=True)
+        dx = _conv1d_pallas(g16, w, zero_b, dilation, None, None, adjoint=True)
     else:
         w_adj = jnp.flip(w, axis=0).swapaxes(1, 2)  # (k, Cout, Cin)
-        dx = _conv1d_reference(g, w_adj, zero_b, dilation, None, None)
+        dx = _conv1d_reference(g16, w_adj, zero_b, dilation, None, None)
     if slope is not None:
         dx = jnp.where(x >= 0, dx, slope * dx)
     dres = g if has_residual else None
