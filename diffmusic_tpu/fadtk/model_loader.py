@@ -287,6 +287,98 @@ class VGGishModel(_LocalCheckpointLoader):
         return emb.cpu().numpy()
 
 
+class DACModel(_LocalCheckpointLoader):
+    """Descript audio codec continuous encoder embeddings (reference
+    fadtk/model_loader.py:189-251). Needs the `dac` package (descript-audio-
+    codec) + a local weights file — not baked into this image, so load_model
+    gates with a clear error; enumeration stays lazy/cheap."""
+
+    def __init__(self, checkpoint_dir=None):
+        super().__init__("dac-44kHz", 1024, 44100, checkpoint_dir)
+        self.subdir = "dac_44khz"
+
+    def load_model(self):
+        try:
+            import dac  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "Embedding model 'dac-44kHz' needs the descript-audio-codec "
+                "package (`dac`), which is not installed in this image") from e
+        import torch
+        path = self._resolve()
+        self.model = dac.DAC.load(str(path / "weights.pth")).eval()
+        self.torch = torch
+
+    def _get_embedding(self, audio):
+        torch = self.torch
+        x = torch.from_numpy(np.asarray(audio, np.float32))[None, None]
+        with torch.no_grad():
+            x = self.model.preprocess(x, self.sr)
+            z = self.model.encoder(x)  # (1, 1024, frames)
+        return z[0].T.cpu().numpy()
+
+
+class CdpamModel(_LocalCheckpointLoader):
+    """CDPAM perceptual embeddings (reference fadtk/model_loader.py:420-459).
+    Needs the `cdpam` package (not in this image); gated like DAC."""
+
+    def __init__(self, mode: str = "acoustic", checkpoint_dir=None):
+        super().__init__(f"cdpam-{mode}", 512, 22050, checkpoint_dir)
+        self.mode = mode
+        self.subdir = "cdpam"
+
+    def load_model(self):
+        try:
+            import cdpam
+        except ImportError as e:
+            raise ImportError(
+                "Embedding model 'cdpam-*' needs the `cdpam` package, which "
+                "is not installed in this image") from e
+        self.model = cdpam.CDPAM(dev="cpu")
+
+    def _get_embedding(self, audio):
+        import torch
+        x = torch.from_numpy(
+            np.round(np.asarray(audio, np.float32) * 32768.0)).float()[None]
+        with torch.no_grad():
+            _, acoustic, content = self.model.model.base_encoder.forward(
+                x.unsqueeze(1))
+        h = acoustic if self.mode == "acoustic" else content
+        return h[0].cpu().numpy()
+
+
+class MSCLAPModel(_LocalCheckpointLoader):
+    """Microsoft CLAP 2023 audio embeddings (reference
+    fadtk/model_loader.py:462-521). Needs the `msclap` package; gated."""
+
+    def __init__(self, year: str = "2023", checkpoint_dir=None):
+        super().__init__(f"clap-{year}", 1024, 44100, checkpoint_dir)
+        self.year = year
+        self.subdir = f"msclap_{year}"
+
+    def load_model(self):
+        try:
+            from msclap import CLAP
+        except ImportError as e:
+            raise ImportError(
+                "Embedding model 'clap-2023' needs the `msclap` package, "
+                "which is not installed in this image") from e
+        path = self._resolve()
+        self.model = CLAP(model_fp=str(path / "CLAP_weights.pth"),
+                          version=self.year, use_cuda=False)
+
+    def _get_embedding(self, audio):
+        import tempfile
+        from scipy.io import wavfile
+        # msclap's public surface is file-based
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            wavfile.write(f.name, self.sr,
+                          np.asarray(audio, np.float32))
+            emb = self.model.get_audio_embeddings([f.name])
+        return np.asarray(emb[0])[None] if np.asarray(emb[0]).ndim == 1 \
+            else np.asarray(emb[0])
+
+
 def get_all_models(checkpoint_dir=None) -> List[ModelLoader]:
     """Enumerate the zoo (reference fadtk/model_loader.py:675-700). Loaders are
     lazy: enumeration never touches disk; load happens on first embedding."""
@@ -307,6 +399,10 @@ def get_all_models(checkpoint_dir=None) -> List[ModelLoader]:
         WavLMModel("base-plus", None, checkpoint_dir),
         *(WhisperModel(s, checkpoint_dir)
           for s in ("tiny", "base", "small", "medium", "large")),
+        DACModel(checkpoint_dir),
+        CdpamModel("acoustic", checkpoint_dir),
+        CdpamModel("content", checkpoint_dir),
+        MSCLAPModel("2023", checkpoint_dir),
     ]
     return ms
 

@@ -36,8 +36,48 @@ class FusedConv1D(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (self.kernel_size, x.shape[-1], self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # optional pre-transposed kernel for the guidance backward, threaded
+        # as an 'adjoint' variable collection (with_adjoint_weights) so it is
+        # computed once at load time, never inside the denoise scan
+        w_adj = (self.get_variable("adjoint", "kernel_adj")
+                 if self.has_variable("adjoint", "kernel_adj") else None)
         return conv1d_fused(x, kernel, bias, residual, self.dilation,
-                            self.slope, residual is not None)
+                            self.slope, residual is not None, w_adj=w_adj)
+
+
+def with_adjoint_weights(variables):
+    """Attach an 'adjoint' collection of pre-flipped/transposed FusedConv1D
+    kernels to a vocoder variables dict.
+
+    The guidance backward (scheduling_dps.py:195-212 in the reference) runs the
+    adjoint conv once per denoising step; with the (k, Cout, Cin) layout
+    materialized HERE — once, at parameter-load time — the backward reuses the
+    MXU-standard forward Pallas kernel with zero per-step weight transposes
+    (docs/PERF_NOTES.md: the in-kernel swapped-contraction adjoint lost).
+    Returns `variables` unchanged if it contains no FusedConv1D kernels.
+    """
+    params = variables.get("params", variables)
+
+    def walk(d):
+        out = {}
+        for name, v in d.items():
+            if not isinstance(v, dict):
+                continue
+            k = v.get("kernel")
+            if name.startswith("convs") and k is not None and k.ndim == 3:
+                out[name] = {"kernel_adj": jnp.flip(k, axis=0).swapaxes(1, 2)}
+            else:
+                sub = walk(v)
+                if sub:
+                    out[name] = sub
+        return out
+
+    adj = walk(params)
+    if not adj:
+        return variables
+    out = dict(variables)
+    out["adjoint"] = adj
+    return out
 
 
 class ResidualBlock(nn.Module):

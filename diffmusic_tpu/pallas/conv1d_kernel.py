@@ -38,14 +38,33 @@ def _conv_kernel(x_hbm, w_ref, b_ref, r_ref, out_ref, xs_ref, sem, *,
                  has_residual: bool, adjoint: bool = False):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    nb = pl.num_programs(1)
     tbh = TIME_BLOCK + halo
 
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * TIME_BLOCK, tbh), :], xs_ref, sem)
-    dma.start()
-    dma.wait()
+    # double-buffered x window: grid steps run sequentially on the core, so
+    # starting the NEXT block's DMA before waiting on the current one hides
+    # the HBM->VMEM transfer behind this block's k MXU dots
+    lin = b * nb + i
+    total = pl.num_programs(0) * nb
 
-    xs = xs_ref[:, :]
+    def dma_for(lin_idx):
+        bb = lin_idx // nb
+        ii = lin_idx % nb
+        slot = jax.lax.rem(lin_idx, 2)
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * TIME_BLOCK, tbh), :], xs_ref.at[slot],
+            sem.at[slot])
+
+    @pl.when(lin == 0)
+    def _():
+        dma_for(lin).start()
+
+    @pl.when(lin + 1 < total)
+    def _():
+        dma_for(lin + 1).start()
+
+    dma_for(lin).wait()
+    xs = xs_ref[jax.lax.rem(lin, 2)]
     if slope is not None:
         # Mosaic has no bf16 compare on this target: do the leaky in fp32,
         # then return to the input dtype so the dots stay bf16 on the MXU
@@ -112,8 +131,8 @@ def _conv1d_pallas(x, w, b, dilation: int, slope, residual,
         out_specs=pl.BlockSpec((1, TIME_BLOCK, cout), lambda b_, i: (b_, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TIME_BLOCK + halo, cin), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, TIME_BLOCK + halo, cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * blocks * TIME_BLOCK * k * cin * cout,
@@ -140,14 +159,9 @@ def _conv1d_reference(x, w, b, dilation, slope, residual):
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def conv1d_fused(x, w, b, residual, dilation: int = 1, slope=None,
-                 has_residual: bool = False):
-    """y = conv1d(leaky(x), w, dil) + b [+ residual]; 'same' padding, odd k.
-
-    Pass residual=None and has_residual=False for a plain conv. Weight/bias
-    cotangents are symbolic zeros (frozen-weight inference framework).
-    """
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _conv1d_vjp(x, w, b, residual, w_adj, dilation: int, slope,
+                has_residual: bool):
     # Mosaic DMA slices need 128-aligned lane dims: small-channel convs (the
     # last HiFi-GAN stages, ~10% of FLOPs) stay on the XLA path
     aligned = x.shape[-1] % 128 == 0 and w.shape[-1] % 128 == 0
@@ -158,8 +172,27 @@ def conv1d_fused(x, w, b, residual, dilation: int = 1, slope=None,
                           residual if has_residual else None)
 
 
-def _conv1d_fwd(x, w, b, residual, dilation, slope, has_residual):
-    return conv1d_fused(x, w, b, residual, dilation, slope, has_residual), (x, w)
+def conv1d_fused(x, w, b, residual, dilation: int = 1, slope=None,
+                 has_residual: bool = False, w_adj=None):
+    """y = conv1d(leaky(x), w, dil) + b [+ residual]; 'same' padding, odd k.
+
+    Pass residual=None and has_residual=False for a plain conv. Weight/bias
+    cotangents are symbolic zeros (frozen-weight inference framework).
+
+    w_adj: optional pre-flipped/transposed kernel `flip(w, 0).swapaxes(1, 2)`
+    of shape (k, Cout, Cin). When given, the activation backward runs the SAME
+    MXU-standard Pallas kernel on the cotangent instead of an in-kernel
+    swapped-contraction adjoint (which forces per-tap transposes — measured
+    slower, see docs/PERF_NOTES.md). Precompute it ONCE outside the denoise
+    scan (models/hifigan.py::with_adjoint_weights) so no per-step transposes
+    appear in the compiled loop body.
+    """
+    return _conv1d_vjp(x, w, b, residual, w_adj, dilation, slope, has_residual)
+
+
+def _conv1d_fwd(x, w, b, residual, w_adj, dilation, slope, has_residual):
+    out = _conv1d_vjp(x, w, b, residual, w_adj, dilation, slope, has_residual)
+    return out, (x, w, w_adj)
 
 
 # backward formulation: "pallas" (adjoint conv through this kernel) or "xla"
@@ -168,7 +201,7 @@ _BWD_IMPL = "xla"
 
 
 def _conv1d_bwd(dilation, slope, has_residual, res, g):
-    x, w = res
+    x, w, w_adj = res
     # the cotangent arrives in the loss dtype (fp32); run the adjoint conv in
     # the WEIGHT dtype (bf16 in production) — fp32 matmuls run at a fraction
     # of the MXU's bf16 rate and the guidance chain is bf16 throughout anyway
@@ -177,16 +210,22 @@ def _conv1d_bwd(dilation, slope, has_residual, res, g):
     # kernel; then the leaky-relu derivative mask
     zero_b = jnp.zeros((w.shape[1],), w.dtype)  # adjoint out-channels = Cin
     aligned = g.shape[-1] % 128 == 0 and w.shape[1] % 128 == 0
-    if _BWD_IMPL == "pallas" and (aligned or _INTERPRET):
+    if w_adj is not None and (_INTERPRET or (_on_tpu() and aligned)):
+        # pre-transposed (k, Cout, Cin) kernel -> the backward is the forward
+        # kernel verbatim: both dots MXU-standard, zero per-step transposes
+        dx = _conv1d_pallas(g16, w_adj.astype(w.dtype), zero_b, dilation,
+                            None, None)
+    elif _BWD_IMPL == "pallas" and (aligned or _INTERPRET):
         dx = _conv1d_pallas(g16, w, zero_b, dilation, None, None, adjoint=True)
     else:
-        w_adj = jnp.flip(w, axis=0).swapaxes(1, 2)  # (k, Cout, Cin)
-        dx = _conv1d_reference(g16, w_adj, zero_b, dilation, None, None)
+        w_adj_local = jnp.flip(w, axis=0).swapaxes(1, 2)  # (k, Cout, Cin)
+        dx = _conv1d_reference(g16, w_adj_local, zero_b, dilation, None, None)
     if slope is not None:
         dx = jnp.where(x >= 0, dx, slope * dx)
     dres = g if has_residual else None
+    dw_adj = None if w_adj is None else jnp.zeros_like(w_adj)
     return (dx.astype(x.dtype), jnp.zeros_like(w),
-            jnp.zeros((w.shape[2],), x.dtype), dres)
+            jnp.zeros((w.shape[2],), x.dtype), dres, dw_adj)
 
 
 def _on_tpu() -> bool:
@@ -194,4 +233,4 @@ def _on_tpu() -> bool:
     return f()
 
 
-conv1d_fused.defvjp(_conv1d_fwd, _conv1d_bwd)
+_conv1d_vjp.defvjp(_conv1d_fwd, _conv1d_bwd)

@@ -47,6 +47,10 @@ class MusicLDMPipeline:
         self.unet = UNet2DConditionModel(self.unet_cfg)
         self.vae = AutoencoderKL(self.vae_cfg)
         self.vocoder = SpeechT5HifiGan(self.vocoder_cfg)
+        # NOTE: models/hifigan.py::with_adjoint_weights can thread precomputed
+        # pallas adjoint kernels into the guidance backward, but it MEASURED
+        # SLOWER than XLA's conv adjoint (62.3 vs 34.3 ms/grad at MusicLDM
+        # scale, docs/PERF_NOTES.md) — so it is not attached by default.
         self.text_encoder = ClapTextModelWithProjection(self.text_cfg)
         self.vae_scale_factor = self.vae_cfg.scale_factor
         self._denoise_cache = {}

@@ -30,7 +30,8 @@ class TestModelZoo:
         # reference eval.py:56-66 evaluates these four; plus the zoo families
         for expect in ("vggish", "clap-laion-audio", "clap-laion-music",
                        "w2v2-base", "encodec-emb", "MERT-v1-95M",
-                       "whisper-tiny", "mfcc-stack"):
+                       "whisper-tiny", "mfcc-stack", "dac-44kHz",
+                       "cdpam-acoustic", "cdpam-content", "clap-2023"):
             assert expect in names, f"missing {expect}"
         assert len(names) >= 30  # per-layer variants enumerated
 

@@ -57,6 +57,48 @@ class TestConv1dFused:
         np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
                                    rtol=1e-3, atol=1e-3)
 
+    @pytest.mark.parametrize("k,d,slope", [(3, 1, None), (7, 3, 0.1)])
+    def test_pretransposed_adjoint_gradient(self, rng, k, d, slope):
+        """With a precomputed flip/transpose kernel threaded in (the production
+        path: with_adjoint_weights at load time), the backward runs the forward
+        Pallas kernel on the cotangent — dx must still equal autodiff."""
+        x = jnp.asarray(rng.standard_normal((1, 260, 8)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, 8, 8)) * 0.2, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((8,)) * 0.1, jnp.float32)
+        w_adj = jnp.flip(w, axis=0).swapaxes(1, 2)
+
+        def loss_fused(x_):
+            return jnp.sum(
+                conv1d_fused(x_, w, b, x_, d, slope, True, w_adj=w_adj) ** 2)
+
+        def loss_ref(x_):
+            return jnp.sum(_conv1d_reference(x_, w, b, d, slope, x_) ** 2)
+
+        g_fused = jax.grad(loss_fused)(x)
+        g_ref = jax.grad(loss_ref)(x)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_with_adjoint_weights_collection(self, rng):
+        """with_adjoint_weights attaches kernel_adj for every FusedConv1D and
+        the vocoder still applies (CPU path ignores it, semantics unchanged)."""
+        from diffmusic_tpu.models.hifigan import (ResidualBlock,
+                                                  with_adjoint_weights)
+
+        blk = ResidualBlock(channels=8, kernel_size=3, dilations=(1, 3),
+                            slope=0.1)
+        x = jnp.asarray(rng.standard_normal((1, 200, 8)), jnp.float32)
+        params = blk.init(jax.random.key(0), x)
+        aug = with_adjoint_weights(params)
+        assert "adjoint" in aug
+        for name in ("convs1_0", "convs2_0", "convs1_1", "convs2_1"):
+            adj = aug["adjoint"][name]["kernel_adj"]
+            ker = params["params"][name]["kernel"]
+            assert adj.shape == (ker.shape[0], ker.shape[2], ker.shape[1])
+        np.testing.assert_allclose(np.asarray(blk.apply(aug, x)),
+                                   np.asarray(blk.apply(params, x)),
+                                   rtol=1e-6, atol=1e-6)
+
     def test_hifigan_residual_block_unchanged_semantics(self, rng):
         """The rewired ResidualBlock must match the original
         leaky->conv->leaky->conv(+res) composition parameter-for-parameter."""

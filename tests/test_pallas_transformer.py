@@ -54,6 +54,19 @@ class TestFusedTransformerBlock:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_bf16_softmax_close_to_fp32(self, rng):
+        """The production bf16-exp softmax must stay within bf16-level error
+        of the fp32 reference composition."""
+        heads, head_dim = 4, 8
+        c = heads * head_dim
+        x32 = jnp.asarray(rng.standard_normal((1, 600, c)) * 0.3, jnp.float32)
+        blk = BasicTransformerBlock(heads, head_dim)
+        params = blk.init(jax.random.key(0), x32)
+        want = _unfused_composition(x32, params, heads, head_dim)
+        got = blk.apply(params, x32.astype(jnp.bfloat16))  # fused, bf16-exp
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want), rtol=5e-2, atol=5e-2)
+
     def test_param_tree_matches_unfused_variant(self, rng):
         """Both routing choices must declare the identical param tree, so a
         tree initialized short (unfused) works long (fused) and vice versa."""
