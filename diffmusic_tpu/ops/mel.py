@@ -149,11 +149,12 @@ class MelSpectrogram:
     f_max: float | None = None
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        # XLA forward (fuses into the surrounding program — the all-Pallas
-        # forward measured slower inside guidance grads: 111 vs 82 ms/step),
-        # with a manual scatter-free backward (autodiff's frame-gather VJP is
-        # a whole-signal scatter). The standalone fused Pallas forward
-        # (pallas.mel_kernel.fused_mel_spectrogram, 10.8x faster) serves the
+        # XLA forward + manual scatter-free backward. The Pallas forward
+        # (pallas.mel_kernel.fused_mel_spectrogram, 10.8x faster STANDALONE)
+        # was re-measured inside the guidance grad even after the manual
+        # backward removed all activation sharing: full guidance 100.9 vs
+        # 58.5 ms/iter (docs/PERF_NOTES.md) — the kernel boundary inside the
+        # big differentiated program loses regardless. It stays on the
         # forward-only metrics/eval paths.
         from ..pallas.mel_kernel import mel_spectrogram_fast_grad
         return mel_spectrogram_fast_grad(

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TIME_BLOCK = 512
+TIME_BLOCK = 512  # 1024 measured neutral (34.45 vs 34.31 ms vocoder grad)
 
 # test hook: run the Pallas kernel in interpreter mode on CPU
 _INTERPRET = False
