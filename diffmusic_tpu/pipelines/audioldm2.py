@@ -163,6 +163,31 @@ class AudioLDM2Pipeline(MusicLDMPipeline):
                                 guidance_scale=guidance_scale,
                                 prompt_embeds=prompt_embeds, **kwargs)
 
+    # -------------------------------------------------------------- ranking
+    def score_waveforms(self, text: str, audio, num_waveforms_per_prompt=None):
+        """Re-rank generated waveforms by CLAP text-audio cosine similarity.
+
+        Reference: plpeline_audioldm2.py:721-738 defines this but its call
+        site (:1240) is commented out — here it is wired and usable. audio:
+        (N, L) 16 kHz waveforms; returns (audio_sorted, similarity_scores)
+        with the best match first.
+        """
+        if self.clap_audio_embed is None:
+            raise ValueError(
+                "score_waveforms requires a CLAP audio tower "
+                "(clap_audio_embed); load one via from_pretrained")
+        audio = jnp.asarray(audio)
+        if num_waveforms_per_prompt is not None:
+            audio = audio[:num_waveforms_per_prompt]
+        ids, mask = self.tokenizer([text or ""])
+        tfeat = self.text_encoder.apply(self.text_params, jnp.asarray(ids),
+                                        jnp.asarray(mask))
+        tfeat = tfeat / jnp.linalg.norm(tfeat, axis=-1, keepdims=True)
+        afeat = self.clap_audio_embed(audio)          # (N, 512), normalized
+        sim = (afeat @ tfeat.T)[:, 0]                 # cosine similarity
+        order = jnp.argsort(-sim)
+        return np.asarray(audio[order]), np.asarray(sim[order])
+
     # ------------------------------------------------------------- factories
     @classmethod
     def from_pretrained(cls, checkpoint_dir, scheduler_name: str = "ddim",

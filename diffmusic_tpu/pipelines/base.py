@@ -46,7 +46,8 @@ def _progress_print(t, loss):
 
 
 def run_denoise_scan(step_fn, model_fn, latents, timesteps, key,
-                     remat: bool = False, progress: bool = False):
+                     remat: bool = False, progress: bool = False,
+                     callback=None, callback_steps: int = 1):
     """Scan `prev, x0, loss = step_fn(model_fn(x, t), t, x, key_t)` over timesteps.
 
     Returns (final_latents, per-step losses). The caller jits this (usually via a
@@ -56,8 +57,19 @@ def run_denoise_scan(step_fn, model_fn, latents, timesteps, key,
     jax.debug.callback — the TPU equivalent of the reference's tqdm description
     (pipeline_musicldm.py:761-763). jax.profiler scopes name the phases for
     xprof traces.
+
+    callback(step_index, timestep, latents) fires every `callback_steps` steps
+    (reference pipeline_musicldm.py:760-766) — delivered through an unordered
+    jax.debug.callback, so it observes latents without breaking the compiled
+    scan; the cadence filter runs host-side.
     """
-    def body(carry, tk):
+    if callback is not None:
+        def _cb_host(i, t, lat):
+            if int(i) % callback_steps == 0:
+                callback(int(i), int(t), np.asarray(lat))
+
+    def body(carry, it):
+        i, tk = it
         x, k = carry
         k, sub = jax.random.split(k)
         with jax.profiler.TraceAnnotation("unet_forward"):
@@ -66,11 +78,14 @@ def run_denoise_scan(step_fn, model_fn, latents, timesteps, key,
             prev, _x0, loss = step_fn(eps, tk, x, sub)
         if progress:
             jax.debug.callback(_progress_print, tk, loss, ordered=False)
+        if callback is not None:
+            jax.debug.callback(_cb_host, i, tk, prev, ordered=False)
         return (prev, k), loss
 
     if remat:
         body = jax.checkpoint(body)
-    (final, _), losses = jax.lax.scan(body, (latents, key), timesteps)
+    steps = jnp.arange(len(timesteps), dtype=jnp.int32)
+    (final, _), losses = jax.lax.scan(body, (latents, key), (steps, timesteps))
     return final, losses
 
 

@@ -167,6 +167,14 @@ class MusicLDMPipeline:
         """(differentiable part, rebuild fn) for prompt-embedding optimization."""
         return prompt_embeds, lambda d: d
 
+    def _fire_callback(self, i, t, lat):
+        """Stable trampoline target for the per-step user callback
+        (reference pipeline_musicldm.py:760-766): reads the current user
+        function/cadence so cached compiled scans remain valid."""
+        cb = getattr(self, "_user_callback", None)
+        if cb is not None and i % max(1, getattr(self, "_callback_steps", 1)) == 0:
+            cb(i, t, lat)
+
     def __call__(self,
                  prompt: Optional[str] = None,
                  audio_length_in_s: Optional[float] = None,
@@ -187,6 +195,8 @@ class MusicLDMPipeline:
                  optim_prompt: bool = False,
                  optim_prompt_learning_rate: float = 1e-4,
                  show_progress: bool = False,
+                 callback=None,
+                 callback_steps: int = 1,
                  **_ignored):
         key = key if key is not None else jax.random.key(0)
         sr = self.vocoder_cfg.sampling_rate
@@ -222,13 +232,21 @@ class MusicLDMPipeline:
         if measurement is not None:
             measurement = jnp.asarray(measurement)
 
+        # per-step user callback (reference pipeline_musicldm.py:760-766): the
+        # jitted scan closes over the stable _fire_callback trampoline; the
+        # user's function and cadence are read at fire time, so the compiled
+        # program stays cacheable across calls with different callbacks
+        self._user_callback = callback
+        self._callback_steps = callback_steps
+
         # one jitted program per static config; measurement and prompt embeds are
         # traced arguments, so looping over dataset files (run.py:264) reuses the
         # same compiled scan instead of recompiling per file
         static_key = (self.scheduler_name, num_inference_steps, eta,
                       ip_guidance_rate, guidance_scale, supervised_space, owl,
                       needs_guidance, self.scheduler_name == "ditto",
-                      optim_prompt, optim_prompt_learning_rate, show_progress)
+                      optim_prompt, optim_prompt_learning_rate, show_progress,
+                      callback is not None)
 
         mparams = self._denoise_params()
         if self.scheduler_name == "ditto":
@@ -300,17 +318,21 @@ class MusicLDMPipeline:
                         loss_fn = self.make_loss_fn(meas, owl, supervised_space,
                                                     mp)
                         step_fn = make_step_fn(self.schedule, cfg, loss_fn)
-                        return run_denoise_scan(step_fn, model_fn, lat,
-                                                timesteps, k,
-                                                progress=show_progress)
+                        return run_denoise_scan(
+                            step_fn, model_fn, lat, timesteps, k,
+                            progress=show_progress,
+                            callback=self._fire_callback if callback is not None
+                            else None)
                 else:
                     def run(mp, lat, k, meas, pembeds):
                         model_fn = self._make_model_fn(pembeds, guidance_scale,
                                                        mp["unet"])
                         step_fn = make_step_fn(self.schedule, cfg, None)
-                        return run_denoise_scan(step_fn, model_fn, lat,
-                                                timesteps, k,
-                                                progress=show_progress)
+                        return run_denoise_scan(
+                            step_fn, model_fn, lat, timesteps, k,
+                            progress=show_progress,
+                            callback=self._fire_callback if callback is not None
+                            else None)
                 self._denoise_cache[static_key] = jax.jit(run)
             run_jit = self._denoise_cache[static_key]
             final, losses = denoise_with_nan_retry(

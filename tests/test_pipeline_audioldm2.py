@@ -55,3 +55,33 @@ class TestAudioLDM2Tiny:
         with pytest.raises(ValueError, match="clap"):
             pipe(prompt="x", audio_length_in_s=0.4, num_inference_steps=2,
                  prompt_type="clap", measurement=measurement)
+
+    def test_score_waveforms_ranks_by_clap_similarity(self):
+        """CLAP text-audio re-ranking (reference plpeline_audioldm2.py:721-738;
+        its call site :1240 is commented out there — wired here)."""
+        pipe = AudioLDM2Pipeline.tiny("ddim")
+        # stub audio tower: embedding = normalized mean/std signature, so the
+        # ranking is deterministic and text-feature-dependent
+        ids, mask = pipe.tokenizer(["target"])
+        tfeat = pipe.text_encoder.apply(pipe.text_params, jnp.asarray(ids),
+                                        jnp.asarray(mask))
+        tfeat = tfeat / jnp.linalg.norm(tfeat, axis=-1, keepdims=True)
+
+        def stub_embed(wavs):
+            # first waveform maps exactly onto the text feature (sim 1), the
+            # second onto its negation (sim -1)
+            signs = jnp.sign(jnp.sum(wavs, axis=-1, keepdims=True))
+            return signs * tfeat
+        pipe.clap_audio_embed = stub_embed
+
+        good = jnp.ones((1, 100))
+        bad = -jnp.ones((1, 100))
+        audio = jnp.concatenate([bad, good], axis=0)
+        ranked, sims = pipe.score_waveforms("target", audio)
+        assert sims[0] > sims[1]
+        np.testing.assert_allclose(ranked[0], np.asarray(good[0]))
+
+    def test_score_waveforms_requires_audio_tower(self):
+        pipe = AudioLDM2Pipeline.tiny("ddim")
+        with pytest.raises(ValueError, match="clap_audio_embed"):
+            pipe.score_waveforms("x", jnp.zeros((2, 100)))

@@ -99,6 +99,33 @@ class TestMusicLDMTiny:
         assert np.isfinite(out.audios).all()
         assert np.isfinite(losses).all()
 
+    def test_callback_fires_with_cadence(self):
+        """Per-step callback(step, t, latents) every callback_steps
+        (reference pipeline_musicldm.py:760-766)."""
+        pipe = MusicLDMPipeline.tiny("ddim")
+        seen = []
+        pipe(prompt="", audio_length_in_s=0.4, num_inference_steps=6,
+             key=jax.random.key(0),
+             callback=lambda i, t, lat: seen.append((i, int(t), lat.shape)),
+             callback_steps=2)
+        jax.effects_barrier()
+        assert [s[0] for s in seen] == [0, 2, 4]
+        assert all(s[2] == (1, 8, 20, 32) for s in seen)
+
+    def test_callback_absent_by_default_and_cache_safe(self):
+        """Calling again without a callback must not fire the stale one."""
+        pipe = MusicLDMPipeline.tiny("ddim")
+        seen = []
+        pipe(prompt="", audio_length_in_s=0.4, num_inference_steps=3,
+             key=jax.random.key(0), callback=lambda *a: seen.append(a))
+        jax.effects_barrier()
+        n = len(seen)
+        assert n == 3
+        pipe(prompt="", audio_length_in_s=0.4, num_inference_steps=3,
+             key=jax.random.key(1))
+        jax.effects_barrier()
+        assert len(seen) == n
+
     def test_bad_supervised_space(self, inpaint_op, measurement):
         pipe = MusicLDMPipeline.tiny("diffmusic", operator=inpaint_op)
         with pytest.raises(ValueError, match="supervised_space"):
