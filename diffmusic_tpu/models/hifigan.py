@@ -45,7 +45,7 @@ class FusedConv1D(nn.Module):
                             self.slope, residual is not None, w_adj=w_adj)
 
 
-def with_adjoint_weights(variables):
+def with_adjoint_weights(variables, only=None):
     """Attach an 'adjoint' collection of pre-flipped/transposed FusedConv1D
     kernels to a vocoder variables dict.
 
@@ -55,19 +55,23 @@ def with_adjoint_weights(variables):
     MXU-standard forward Pallas kernel with zero per-step weight transposes
     (docs/PERF_NOTES.md: the in-kernel swapped-contraction adjoint lost).
     Returns `variables` unchanged if it contains no FusedConv1D kernels.
+    `only`: optional predicate on the enclosing module name (e.g.
+    `lambda name: name in {"resblocks_3"}`) to attach adjoints selectively
+    (bisection experiments, docs/PERF_NOTES.md).
     """
     params = variables.get("params", variables)
 
-    def walk(d):
+    def walk(d, parent=""):
         out = {}
         for name, v in d.items():
             if not isinstance(v, dict):
                 continue
             k = v.get("kernel")
             if name.startswith("convs") and k is not None and k.ndim == 3:
-                out[name] = {"kernel_adj": jnp.flip(k, axis=0).swapaxes(1, 2)}
+                if only is None or only(parent):
+                    out[name] = {"kernel_adj": jnp.flip(k, axis=0).swapaxes(1, 2)}
             else:
-                sub = walk(v)
+                sub = walk(v, name)
                 if sub:
                     out[name] = sub
         return out

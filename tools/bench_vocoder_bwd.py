@@ -5,7 +5,9 @@ without the precomputed 'adjoint' weight collection (models/hifigan.py::
 with_adjoint_weights). Per the tunnel measurement protocol (docs/PERF_NOTES.md)
 only scanned loops with a forced fetch are trusted.
 
-Usage: python tools/bench_vocoder_bwd.py [iters]
+Usage: python tools/bench_vocoder_bwd.py [iters] [variant]
+variant: xla | pallas | both (default both; separate processes avoid
+same-process ordering confounds)
 """
 
 import sys
@@ -18,7 +20,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/diffmusic_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 
-def main(iters: int = 100):
+def main(iters: int = 100, variant: str = "both"):
     sys.path.insert(0, ".")
     import __graft_entry__
     from diffmusic_tpu.models.hifigan import with_adjoint_weights
@@ -29,6 +31,13 @@ def main(iters: int = 100):
         if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x, tree)
 
     base = {"params": cast(pipe.vocoder_params)["params"]}
+    if variant.startswith("pallas_stage"):
+        # stage i owns resblocks_{3i..3i+2} (models/hifigan.py loop order)
+        stage = int(variant.removeprefix("pallas_stage"))
+        names = {f"resblocks_{3 * stage + j}" for j in range(3)}
+        with_adj = with_adjoint_weights(base, only=lambda n: n in names)
+        bench(with_adj, f"pallas adjoints, stage {stage} only")
+        return
     with_adj = with_adjoint_weights(base)
 
     t_mel = lat_shape[2] * pipe.vae_cfg.scale_factor
@@ -58,9 +67,12 @@ def main(iters: int = 100):
         print(f"{label:28s} compile+1st={compile_s:7.1f}s  "
               f"per-iter={wall / iters * 1e3:7.2f} ms", flush=True)
 
-    bench(base, "xla adjoint (old)")
-    bench(with_adj, "pallas pre-transposed (new)")
+    if variant in ("both", "xla"):
+        bench(base, "xla adjoint (old)")
+    if variant in ("both", "pallas"):
+        bench(with_adj, "pallas pre-transposed (new)")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 100)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 100,
+         sys.argv[2] if len(sys.argv) > 2 else "both")
