@@ -31,14 +31,6 @@ def main(iters: int = 100, variant: str = "both"):
         if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x, tree)
 
     base = {"params": cast(pipe.vocoder_params)["params"]}
-    if variant.startswith("pallas_stage"):
-        # stage i owns resblocks_{3i..3i+2} (models/hifigan.py loop order)
-        stage = int(variant.removeprefix("pallas_stage"))
-        names = {f"resblocks_{3 * stage + j}" for j in range(3)}
-        with_adj = with_adjoint_weights(base, only=lambda n: n in names)
-        bench(with_adj, f"pallas adjoints, stage {stage} only")
-        return
-    with_adj = with_adjoint_weights(base)
 
     t_mel = lat_shape[2] * pipe.vae_cfg.scale_factor
     mel = jax.random.normal(jax.random.key(0),
@@ -67,10 +59,17 @@ def main(iters: int = 100, variant: str = "both"):
         print(f"{label:28s} compile+1st={compile_s:7.1f}s  "
               f"per-iter={wall / iters * 1e3:7.2f} ms", flush=True)
 
+    if variant.startswith("pallas_stage"):
+        # stage i owns resblocks_{3i..3i+2} (models/hifigan.py loop order)
+        stage = int(variant.removeprefix("pallas_stage"))
+        names = {f"resblocks_{3 * stage + j}" for j in range(3)}
+        only_adj = with_adjoint_weights(base, only=lambda n: n in names)
+        bench(only_adj, f"pallas adjoints, stage {stage} only")
+        return
     if variant in ("both", "xla"):
         bench(base, "xla adjoint (old)")
     if variant in ("both", "pallas"):
-        bench(with_adj, "pallas pre-transposed (new)")
+        bench(with_adjoint_weights(base), "pallas pre-transposed (new)")
 
 
 if __name__ == "__main__":
