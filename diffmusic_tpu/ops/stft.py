@@ -38,14 +38,26 @@ def frame_signal(x: jax.Array, n_fft: int, hop_length: int, center: bool = True,
     """(..., L) -> (..., num_frames, n_fft) with center padding.
 
     num_frames = 1 + L // hop_length when center=True (torch.stft convention).
+
+    Gather-free: a (frames, n_fft) fancy-index gather serializes on TPU, so
+    the overlapping windows are built as a hop-strided reshape + k shifted
+    dense slices concatenated on the last axis — the exact mirror of the
+    scatter-free overlap_add below. frame[i] = concat_c x[(i+c)h:(i+c+1)h]
+    sliced to n_fft.
     """
     if center:
         pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         x = jnp.pad(x, pad, mode=pad_mode)
+    batch = x.shape[:-1]
     length = x.shape[-1]
     num_frames = (length - n_fft) // hop_length + 1
-    idx = np.arange(num_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-    return x[..., idx]
+    k = -(-n_fft // hop_length)  # ceil
+    need = (num_frames + k - 1) * hop_length
+    if need > length:
+        x = jnp.pad(x, [(0, 0)] * len(batch) + [(0, need - length)])
+    v = x[..., :need].reshape(*batch, num_frames + k - 1, hop_length)
+    parts = [v[..., c:c + num_frames, :] for c in range(k)]
+    return jnp.concatenate(parts, axis=-1)[..., :n_fft]
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "center",

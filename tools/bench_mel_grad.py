@@ -45,7 +45,7 @@ def bench(label, loss_of, x, iters):
           f"per-iter={wall / iters * 1e3:7.3f} ms", flush=True)
 
 
-def main(iters: int = 100):
+def main(iters: int = 100, variant: str = "both"):
     sys.path.insert(0, ".")
     from diffmusic_tpu.ops.mel import MelSpectrogram
     from diffmusic_tpu.pallas.mel_kernel import _bases
@@ -67,10 +67,12 @@ def main(iters: int = 100):
         mag = re * re + im * im                       # (B, frames, n_freqs)
         return jnp.matmul(mag, fb)                    # (B, frames, n_mels)
 
-    bench("gather-frames + manual bwd",
-          lambda xx: jnp.sum(mel(xx)), x, iters)
-    bench("strided-conv STFT, autodiff",
-          lambda xx: jnp.sum(mel_conv(xx)), x, iters)
+    if variant in ("both", "gather"):
+        bench("gather-frames + manual bwd",
+              lambda xx: jnp.sum(mel(xx)), x, iters)
+    if variant in ("both", "conv"):
+        bench("strided-conv STFT, autodiff",
+              lambda xx: jnp.sum(mel_conv(xx)), x, iters)
 
     # numerical agreement (mel returns (B, n_mels, T); conv returns (B, T, M))
     a = jnp.swapaxes(mel(x), -1, -2)
@@ -80,4 +82,5 @@ def main(iters: int = 100):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 100)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 100,
+         sys.argv[2] if len(sys.argv) > 2 else "both")
