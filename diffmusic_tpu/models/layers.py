@@ -99,7 +99,9 @@ class Attention(nn.Module):
         if bias is None and tq == tk and tq >= 512:
             # long unmasked self-attention: flash kernel keeps the (T, T)
             # logits out of HBM (the XLA path materializes ~0.5 GB per level-0
-            # attention at MusicLDM 10-s scale)
+            # attention at MusicLDM 10-s scale). Threshold measured: extending
+            # to the T=252 mid levels regressed 14.3 -> 14.6 ms (per-call
+            # overhead beats the small logits traffic there).
             from ..pallas.attention_kernel import flash_attention
             attn = flash_attention(q, k, v)
         else:
@@ -251,14 +253,39 @@ class Downsample2D(nn.Module):
                        name="conv")(x)
 
 
+def _nearest_upsample(x, axis: int, target: int):
+    """torch F.interpolate(mode="nearest") along one axis: i -> floor(i*h/th).
+
+    Built from dense repeat/concat when the static index pattern allows (all
+    shapes this model family produces: th = 2h, th = 2h+1, and th < 2h with
+    a pure pair pattern) — jax.image.resize would lower to a TPU gather AND
+    uses the (i+0.5) center convention, which is off-by-one vs torch in the
+    tail rows of odd sizes. Falls back to an exact take() otherwise.
+    """
+    import numpy as np
+    h = x.shape[axis]
+    if target == h:
+        return x
+    idx = (np.arange(target) * h) // target
+    rng = np.arange(target)
+    if (idx == rng // 2).all():
+        return jax.lax.slice_in_dim(jnp.repeat(x, 2, axis=axis), 0, target,
+                                    axis=axis)
+    if (idx == np.maximum(rng - 1, 0) // 2).all():  # th == 2h+1: row0 tripled
+        first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+        return jnp.concatenate([first, jnp.repeat(x, 2, axis=axis)], axis=axis)
+    return jnp.take(x, jnp.asarray(idx), axis=axis)
+
+
 class Upsample2D(nn.Module):
     out_channels: int
 
     @nn.compact
     def __call__(self, x, out_hw=None):
-        # out_hw: target spatial size; needed when the down path ceil-divided an
-        # odd size (e.g. 125 -> 63), mirroring diffusers' forward_upsample_size
+        # out_hw: target spatial size; needed when the down path strode an odd
+        # size (e.g. 125 -> 62), mirroring diffusers' forward_upsample_size.
         b, h, w, c = x.shape
         th, tw = out_hw if out_hw is not None else (h * 2, w * 2)
-        x = jax.image.resize(x, (b, th, tw, c), method="nearest")
+        x = _nearest_upsample(x, 1, th)
+        x = _nearest_upsample(x, 2, tw)
         return nn.Conv(self.out_channels, (3, 3), padding=1, name="conv")(x)

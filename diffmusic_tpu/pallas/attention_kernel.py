@@ -44,7 +44,9 @@ def _attn_kernel(q_ref, kt_ref, v_ref, out_ref, *, scale: float, t_valid: int):
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < t_valid, s, -1e30)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    # exp2 lowering: identical softmax, measured slightly faster than exp
+    # (tools/bench_transformer_block.py)
+    p = jnp.exp2((s - m) * 1.4426950408889634)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     out = jnp.dot(p.astype(v.dtype), v,
                   preferred_element_type=jnp.float32) / denom

@@ -77,7 +77,9 @@ def _block_kernel(x_ref, kt_ref, v_ref, ln1_ref, wq_ref, wo_ref, bo_ref,
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < t_valid, s, -1e30)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        # exp via exp2: mathematically identical softmax (the scale folds into
+        # the subtraction); measured A/B via tools/bench_transformer_block.py
+        p = jnp.exp2((s - m) * 1.4426950408889634)
         denom = jnp.sum(p, axis=-1, keepdims=True)
         vh = v[:, lo:lo + head_dim].astype(x.dtype)        # (T, D)
         oh = jnp.dot(p.astype(x.dtype), vh,

@@ -249,3 +249,22 @@ class TestVAE:
         z1 = vae.apply(params, mel, jax.random.key(1), method=AutoencoderKL.encode)
         z2 = vae.apply(params, mel, jax.random.key(2), method=AutoencoderKL.encode)
         assert np.abs(np.asarray(z1 - z2)).max() > 1e-8
+
+
+class TestNearestUpsample:
+    @pytest.mark.parametrize("h,th", [(62, 125), (63, 125), (125, 250),
+                                      (4, 8), (5, 11), (7, 13)])
+    def test_matches_torch_interpolate(self, rng, h, th):
+        """_nearest_upsample must reproduce torch F.interpolate(mode='nearest')
+        exactly (floor(i*h/th) indexing) — jax.image.resize uses the (i+0.5)
+        center convention and deviates in the tail rows of odd sizes."""
+        import torch
+        import torch.nn.functional as F
+        from diffmusic_tpu.models.layers import _nearest_upsample
+
+        x = rng.standard_normal((1, h, 3, 2)).astype(np.float32)
+        got = np.asarray(_nearest_upsample(jnp.asarray(x), 1, th))
+        want = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                             size=(th, 3), mode="nearest")
+        want = want.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_array_equal(got, want)
