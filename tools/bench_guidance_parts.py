@@ -73,6 +73,31 @@ def main(iters: int = 100, stage: str = "all"):
             return jnp.sum(audio.astype(jnp.float32))
         scan_grad("vae+vocoder grad", vae_voc, lat, iters)
 
+    if stage in ("all", "voc_fwd"):
+        # forward-only (no grad): pins the vocoder fwd/bwd split
+        @jax.jit
+        def fwd_only(x0):
+            def body(carry, _):
+                mel = decode(carry)
+                audio = op.inverse_transform(
+                    mel, lambda m: pipe.vocoder.apply(voc_p, m))
+                s = jnp.sum(audio.astype(jnp.float32))
+                return carry + 1e-9 * s, s
+            final, _ = jax.lax.scan(body, x0, None, length=iters)
+            return final
+
+        t0 = time.time()
+        out = fwd_only(lat)
+        jax.block_until_ready(out)
+        _ = float(jnp.sum(out))
+        compile_s = time.time() - t0
+        t0 = time.time()
+        out = fwd_only(lat)
+        _ = float(jnp.sum(out))
+        wall = time.time() - t0
+        print(f"{'vae+vocoder FWD only':26s} compile+1st={compile_s:7.1f}s  "
+              f"per-iter={wall / iters * 1e3:7.2f} ms", flush=True)
+
     if stage in ("all", "full"):
         def full(x0):
             mel = decode(x0)
