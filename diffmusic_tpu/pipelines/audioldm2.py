@@ -140,12 +140,14 @@ class AudioLDM2Pipeline(MusicLDMPipeline):
         """Dual-stream conditioning: GPT-2 generated states + T5 sequence
         (reference plpeline_audioldm2.py:1147-1154)."""
         generated, t5_seq, t5_mask = prompt_embeds
-        return self.unet.apply(
-            unet_params if unet_params is not None else self.unet_params,
-            x_in, t,
-            encoder_hidden_states=generated,
-            encoder_hidden_states_1=t5_seq,
+        params = unet_params if unet_params is not None else self.unet_params
+        dt = self._tree_dtype(params)
+        eps = self.unet.apply(
+            params, x_in.astype(dt), t,
+            encoder_hidden_states=generated.astype(dt),
+            encoder_hidden_states_1=t5_seq.astype(dt),
             encoder_attention_mask_1=t5_mask)
+        return eps.astype(x_in.dtype)
 
     def _optim_prompt_split(self, prompt_embeds):
         generated, t5_seq, t5_mask = prompt_embeds

@@ -88,25 +88,37 @@ class MusicLDMPipeline:
                 "vocoder": self.vocoder_params}
 
     # ----------------------------------------------------------------- audio
+    @staticmethod
+    def _tree_dtype(tree):
+        """Compute dtype of a param tree (bf16 checkpoints must not silently
+        promote the whole model to fp32 when fed fp32 activations — flax
+        layers promote, and lax.conv rejects mixed dtypes outright)."""
+        for leaf in jax.tree.leaves(tree):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                         jnp.floating):
+                return leaf.dtype
+        return jnp.float32
+
     def decode_mel(self, latents, vae_params=None):
-        scaled = latents / self.vae_cfg.scaling_factor
-        return self.vae.apply(
-            vae_params if vae_params is not None else self.vae_params,
-            scaled, method=AutoencoderKL.decode)
+        params = vae_params if vae_params is not None else self.vae_params
+        scaled = (latents / self.vae_cfg.scaling_factor).astype(
+            self._tree_dtype(params))
+        return self.vae.apply(params, scaled, method=AutoencoderKL.decode)
 
     def mel_to_waveform(self, mel, vocoder_params=None):
         """(B, 1, T, n_mels) or (B, T, n_mels) -> (B, L) via HiFi-GAN."""
         if mel.ndim == 4:
             mel = mel[:, 0]
-        return self.vocoder.apply(
-            vocoder_params if vocoder_params is not None else self.vocoder_params,
-            mel)
+        params = vocoder_params if vocoder_params is not None \
+            else self.vocoder_params
+        return self.vocoder.apply(params, mel.astype(self._tree_dtype(params)))
 
     def _vocoder_fn(self, vocoder_params=None):
         params = vocoder_params if vocoder_params is not None \
             else self.vocoder_params
         apply = self.vocoder.apply
-        return lambda mel: apply(params, mel)
+        dt = self._tree_dtype(params)
+        return lambda mel: apply(params, mel.astype(dt))
 
     def make_loss_fn(self, measurement, original_waveform_length: int,
                      supervised_space: str = "mel_spectrogram", params=None):
@@ -130,7 +142,9 @@ class MusicLDMPipeline:
         def loss_fn(x0_latent):
             mel = self.decode_mel(x0_latent, vae_params)
             audio = op.inverse_transform(mel, vocoder)
-            audio = audio[:, :original_waveform_length]
+            # fp32 loss head regardless of compute dtype (bf16 weights):
+            # the guidance gradient magnitude drives the sampler updates
+            audio = audio[:, :original_waveform_length].astype(jnp.float32)
             pred = op.forward(audio)
             if supervised_space == "mel_spectrogram":
                 diff = target - op.transform(pred)
@@ -144,9 +158,11 @@ class MusicLDMPipeline:
     def _apply_unet(self, prompt_embeds, x_in, t, unet_params=None):
         """UNet conditioning signature; MusicLDM feeds CLAP embeds as class
         labels (reference pipeline_musicldm.py:696-703)."""
-        return self.unet.apply(
-            unet_params if unet_params is not None else self.unet_params,
-            x_in, t, class_labels=prompt_embeds)
+        params = unet_params if unet_params is not None else self.unet_params
+        dt = self._tree_dtype(params)
+        eps = self.unet.apply(params, x_in.astype(dt), t,
+                              class_labels=prompt_embeds.astype(dt))
+        return eps.astype(x_in.dtype)
 
     def _eps_fn(self, prompt_embeds, x, t, guidance_scale: float,
                 unet_params=None):

@@ -126,6 +126,26 @@ class TestMusicLDMTiny:
         jax.effects_barrier()
         assert len(seen) == n
 
+    def test_bf16_weights_guided_run(self, inpaint_op, measurement):
+        """bf16 checkpoints through the PRODUCTION pipeline path must not
+        dtype-clash (lax.conv rejects mixed dtypes) or silently promote the
+        model to fp32 — the pipeline casts activations to the param dtype
+        and keeps the guidance loss head fp32."""
+        pipe = MusicLDMPipeline.tiny("diffmusic", operator=inpaint_op)
+        cast = lambda t: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, t)
+        pipe.unet_params = cast(pipe.unet_params)
+        pipe.vae_params = cast(pipe.vae_params)
+        pipe.vocoder_params = cast(pipe.vocoder_params)
+        out, losses = pipe(prompt="", audio_length_in_s=0.4,
+                           num_inference_steps=3, eta=1.0,
+                           ip_guidance_rate=0.1, measurement=measurement,
+                           return_losses=True, key=jax.random.key(2))
+        assert np.isfinite(out.audios).all()
+        assert np.asarray(losses).dtype == np.float32
+        assert np.isfinite(np.asarray(losses, np.float64)).all()
+
     def test_bad_supervised_space(self, inpaint_op, measurement):
         pipe = MusicLDMPipeline.tiny("diffmusic", operator=inpaint_op)
         with pytest.raises(ValueError, match="supervised_space"):
