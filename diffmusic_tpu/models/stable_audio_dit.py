@@ -93,6 +93,10 @@ class GQAAttention(nn.Module):
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
 
+        # jax.nn.dot_product_attention requires one dtype; unify defensively
+        # (cross-attention can see a different context dtype)
+        k = k.astype(q.dtype)
+        v = v.astype(q.dtype)
         attn = jax.nn.dot_product_attention(q, k, v)
         attn = attn.reshape(b, tq, q_inner)
         return nn.Dense(x.shape[-1], use_bias=False, name="to_out")(attn)
@@ -164,7 +168,10 @@ class StableAudioDiTModel(nn.Module):
         x = x + nn.Dense(cfg.in_channels, use_bias=False,
                          name="preprocess_conv")(x)
         x = nn.Dense(inner, use_bias=False, name="proj_in")(x)
-        x = jnp.concatenate([glob[:, None, :], x], axis=1)  # prepend global token
+        # cast: the Fourier time features are fp32, and a mixed-dtype concat
+        # would silently promote the whole 24-layer token stream to fp32
+        # (and mismatch the bf16 cross-attention context)
+        x = jnp.concatenate([glob[:, None, :].astype(x.dtype), x], axis=1)
 
         rope = rotary_tables(cfg.rotary_dim, x.shape[1])
         for i in range(cfg.num_layers):

@@ -119,25 +119,37 @@ class StableAudioPipeline:
             # closures would bake the weights into the HLO (huge compile
             # payloads) and would silently reuse a stale prompt across calls
             def run(params, lat, ctx_seq, glob_vec):
+                from .musicldm import MusicLDMPipeline
+                dt = MusicLDMPipeline._tree_dtype(params["dit"])
+
                 def model_fn(x, t):
+                    # network boundary: model compute dtype (bf16 checkpoints
+                    # must not promote the 24-layer stream to fp32); the EDM
+                    # solver algebra around this stays fp32
+                    x = x.astype(dt)
                     if do_cfg:
                         x_in = jnp.concatenate([x, x], axis=0)
-                        ctx = jnp.repeat(ctx_seq, batch, axis=0)
-                        glob = jnp.repeat(glob_vec, batch, axis=0)
+                        ctx = jnp.repeat(ctx_seq.astype(dt), batch, axis=0)
+                        glob = jnp.repeat(glob_vec.astype(dt), batch, axis=0)
                         tt = jnp.full((2 * batch,), t)
                         out = self.dit.apply(params["dit"], x_in, tt, ctx, glob)
-                        uncond, cond = jnp.split(out, 2, axis=0)
+                        uncond, cond = jnp.split(out.astype(jnp.float32), 2,
+                                                 axis=0)
                         return uncond + guidance_scale * (cond - uncond)
                     tt = jnp.full((batch,), t)
-                    return self.dit.apply(params["dit"], x, tt,
-                                          jnp.repeat(ctx_seq, batch, axis=0),
-                                          jnp.repeat(glob_vec, batch, axis=0))
+                    return self.dit.apply(
+                        params["dit"], x, tt,
+                        jnp.repeat(ctx_seq.astype(dt), batch, axis=0),
+                        jnp.repeat(glob_vec.astype(dt), batch, axis=0),
+                    ).astype(jnp.float32)
 
                 sampler = make_edm_sampler(self.schedule, num_inference_steps,
                                            model_fn)
                 final = sampler(lat)
-                audio = self.vae.apply(params["vae"], final,
-                                       method=AutoencoderOobleck.decode)
+                audio = self.vae.apply(
+                    params["vae"],
+                    final.astype(MusicLDMPipeline._tree_dtype(params["vae"])),
+                    method=AutoencoderOobleck.decode)
                 return final, audio
 
             self._sampler_cache[cache_key] = jax.jit(run)

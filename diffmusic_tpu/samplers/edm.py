@@ -99,7 +99,10 @@ def make_edm_sampler(schedule: EDMDPMSolverMultistepSchedule,
         return (x_next, x0), None
 
     def sample(latents, key=None):
-        init = (latents * sig[0], jnp.zeros_like(latents))
+        # fp32 solver algebra regardless of the model compute dtype (matches
+        # the DDIM-family samplers); model_fn casts at the network boundary
+        lat = latents.astype(jnp.float32)
+        init = (lat * sig[0], jnp.zeros_like(lat))
         (final, _), _ = jax.lax.scan(body, init,
                                      jnp.arange(num_inference_steps))
         return final
