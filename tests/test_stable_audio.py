@@ -146,6 +146,27 @@ class TestStableAudioPipeline:
         assert np.isfinite(out.audios).all()
         assert float(np.abs(out.audios).max()) > 0
 
+    def test_bf16_weights_generation(self):
+        """bf16 checkpoints through the StableAudio path: the fp32 Fourier
+        time token must not promote the DiT stream (mixed-dtype concat), the
+        EDM solver carry must stay fp32, and attention q/k/v must agree —
+        regression for the dtype bugs found by the full-scale TPU check."""
+        from diffmusic_tpu.pipelines import get_pipeline
+        cls = get_pipeline("stable_audio")
+        pipe = cls.tiny()
+        cast = lambda t: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, t)
+        pipe.dit_params = cast(pipe.dit_params)
+        pipe.vae_params = cast(pipe.vae_params)
+        pipe.proj_params = cast(pipe.proj_params)
+        hop = pipe.vae_cfg.hop_length
+        audio_end = 16 * hop / pipe.vae_cfg.sampling_rate
+        out = pipe(prompt="x", audio_end_in_s=audio_end,
+                   num_inference_steps=4, guidance_scale=3.0,
+                   key=jax.random.key(8))
+        assert np.isfinite(out.audios).all()
+
 
 class TestStableAudioConversion:
     def test_dit_tree_matches_init(self, rng):
