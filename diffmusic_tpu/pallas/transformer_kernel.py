@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-QB = 128
+QB = 128  # 256 needs 24.45 MB VMEM (8.45 over limit) without a two-pass online softmax
 
 # test hook: run in interpreter mode on CPU
 _INTERPRET = False
