@@ -22,6 +22,14 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
               tp: Optional[int] = None) -> Mesh:
     devices = np.asarray(jax.devices())
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(
+            f"make_mesh needs {n} devices but the backend "
+            f"({jax.default_backend()}) exposes only {len(devices)}. For a "
+            f"virtual multi-device CPU mesh, set JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} before the "
+            f"first backend use (tests/conftest.py does this), or call "
+            f"__graft_entry__.dryrun_multichip which self-provisions.")
     devices = devices[:n]
     if dp is None and tp is None:
         tp = 1
