@@ -310,12 +310,31 @@ class DACModel(_LocalCheckpointLoader):
         self.torch = torch
 
     def _get_embedding(self, audio):
+        # Reference (fadtk/model_loader.py:189-251) normalizes to -16 LUFS via
+        # audiotools and encodes 5-s windows with 50% overlap. audiotools is
+        # not in this image, so loudness uses an RMS dBFS proxy (documented
+        # divergence, PARITY.md); the 5-s/50%-overlap windowing is exact.
         torch = self.torch
-        x = torch.from_numpy(np.asarray(audio, np.float32))[None, None]
-        with torch.no_grad():
-            x = self.model.preprocess(x, self.sr)
-            z = self.model.encoder(x)  # (1, 1024, frames)
-        return z[0].T.cpu().numpy()
+        audio = np.asarray(audio, np.float32)
+        rms = float(np.sqrt(np.mean(audio ** 2))) if audio.size else 0.0
+        if rms > 0:
+            gain = 10.0 ** ((-16.0 - 20.0 * np.log10(rms)) / 20.0)
+            audio = np.clip(audio * gain, -1.0, 1.0)
+        win = 5 * self.sr
+        hop = win // 2
+        frames = []
+        for start in range(0, max(len(audio), 1), hop):
+            chunk = audio[start:start + win]
+            if len(chunk) == 0:
+                break
+            x = torch.from_numpy(chunk)[None, None]
+            with torch.no_grad():
+                x = self.model.preprocess(x, self.sr)
+                z = self.model.encoder(x)  # (1, 1024, frames)
+            frames.append(z[0].T.cpu().numpy())
+            if start + win >= len(audio):
+                break
+        return np.concatenate(frames, axis=0)
 
 
 class CdpamModel(_LocalCheckpointLoader):
@@ -337,14 +356,26 @@ class CdpamModel(_LocalCheckpointLoader):
         self.model = cdpam.CDPAM(dev="cpu")
 
     def _get_embedding(self, audio):
+        # 1-s windows, one L2-normalized embedding per window, stacked to
+        # (frames, 512) — matching reference fadtk/model_loader.py:433-448
+        # (a single whole-file pass would return one frame and break the
+        # FAD mean/cov over the frames axis)
         import torch
-        x = torch.from_numpy(
-            np.round(np.asarray(audio, np.float32) * 32768.0)).float()[None]
-        with torch.no_grad():
-            _, acoustic, content = self.model.model.base_encoder.forward(
-                x.unsqueeze(1))
-        h = acoustic if self.mode == "acoustic" else content
-        return h[0].cpu().numpy()
+        audio = np.asarray(audio, np.float32)
+        frames = []
+        for start in range(0, max(len(audio), 1), self.sr):
+            chunk = audio[start:start + self.sr]
+            if len(chunk) == 0:
+                continue
+            x = torch.from_numpy(
+                np.round(chunk * 32768.0)).float()[None]
+            with torch.no_grad():
+                _, acoustic, content = self.model.model.base_encoder.forward(
+                    x.unsqueeze(1))
+            h = acoustic if self.mode == "acoustic" else content
+            h = torch.nn.functional.normalize(h, dim=1)
+            frames.append(h.cpu().numpy())
+        return np.concatenate(frames, axis=0)
 
 
 class MSCLAPModel(_LocalCheckpointLoader):
@@ -368,15 +399,26 @@ class MSCLAPModel(_LocalCheckpointLoader):
                           version=self.year, use_cuda=False)
 
     def _get_embedding(self, audio):
+        # 7-s windows with a 1-s hop, one embedding per window, stacked to
+        # (timeframes, 1024) — reference fadtk/model_loader.py:462-521 (a
+        # single pooled whole-file vector would give FAD stats one frame)
         import tempfile
         from scipy.io import wavfile
-        # msclap's public surface is file-based
-        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-            wavfile.write(f.name, self.sr,
-                          np.asarray(audio, np.float32))
-            emb = self.model.get_audio_embeddings([f.name])
-        return np.asarray(emb[0])[None] if np.asarray(emb[0]).ndim == 1 \
-            else np.asarray(emb[0])
+        audio = np.asarray(audio, np.float32)
+        win, hop = 7 * self.sr, 1 * self.sr
+        frames = []
+        for start in range(0, max(len(audio), 1), hop):
+            chunk = audio[start:start + win]
+            if len(chunk) == 0:
+                break
+            # msclap's public surface is file-based
+            with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                wavfile.write(f.name, self.sr, chunk)
+                emb = np.asarray(self.model.get_audio_embeddings([f.name])[0])
+            frames.append(emb[None] if emb.ndim == 1 else emb)
+            if start + win >= len(audio):
+                break
+        return np.concatenate(frames, axis=0)
 
 
 def get_all_models(checkpoint_dir=None) -> List[ModelLoader]:

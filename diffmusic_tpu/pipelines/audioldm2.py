@@ -179,15 +179,17 @@ class AudioLDM2Pipeline(MusicLDMPipeline):
                 "score_waveforms requires a CLAP audio tower "
                 "(clap_audio_embed); load one via from_pretrained")
         audio = jnp.asarray(audio)
-        if num_waveforms_per_prompt is not None:
-            audio = audio[:num_waveforms_per_prompt]
         ids, mask = self.tokenizer([text or ""])
         tfeat = self.text_encoder.apply(self.text_params, jnp.asarray(ids),
                                         jnp.asarray(mask))
         tfeat = tfeat / jnp.linalg.norm(tfeat, axis=-1, keepdims=True)
         afeat = self.clap_audio_embed(audio)          # (N, 512), normalized
         sim = (afeat @ tfeat.T)[:, 0]                 # cosine similarity
+        # rank ALL candidates, then keep the best num_waveforms_per_prompt —
+        # reference plpeline_audioldm2.py:741 selects after the argsort
         order = jnp.argsort(-sim)
+        if num_waveforms_per_prompt is not None:
+            order = order[:num_waveforms_per_prompt]
         return np.asarray(audio[order]), np.asarray(sim[order])
 
     # ------------------------------------------------------------- factories

@@ -66,7 +66,11 @@ def run_denoise_scan(step_fn, model_fn, latents, timesteps, key,
     if callback is not None:
         def _cb_host(i, t, lat):
             if int(i) % callback_steps == 0:
-                callback(int(i), int(t), np.asarray(lat))
+                # keep non-integer timesteps (continuous-sigma schedules)
+                # intact instead of truncating
+                tv = float(t)
+                callback(int(i), int(tv) if tv.is_integer() else tv,
+                         np.asarray(lat))
 
     def body(carry, it):
         i, tk = it
@@ -91,7 +95,12 @@ def run_denoise_scan(step_fn, model_fn, latents, timesteps, key,
 
 def denoise_with_nan_retry(run_fn, init_latents, key, max_retries: int = 10):
     """Host-level NaN guard: re-init latents and rerun, <=10 times
-    (reference pipeline_musicldm.py:742-756)."""
+    (reference pipeline_musicldm.py:742-756).
+
+    Note: a retry reruns the whole scan, so any per-step callback wired into
+    run_fn fires again with repeated step indices — consumers that accumulate
+    per-step state should reset when step_index restarts at 0 (the reference
+    has the same behavior: its retry re-enters the timestep loop)."""
     latents = init_latents
     for attempt in range(max_retries + 1):
         final, losses = run_fn(latents, jax.random.fold_in(key, attempt))
@@ -124,9 +133,15 @@ def run_ditto(loss_of_init, decode_fn, init_latents, key,
 
 
 def save_mel_spectrogram(mel: np.ndarray, path, sample_rate: int = 16000,
-                         hop_length: int = 160):
+                         hop_length: int = 160, gt_mel_spectrogram=None,
+                         gt_sample_rate: int = 16000):
     """Save a (T, n_mels) dB mel spectrogram as a PNG (host-side matplotlib),
-    mirroring the reference's save_mel_spectrogram (pipeline_musicldm.py:462-489)."""
+    mirroring the reference's save_mel_spectrogram (pipeline_musicldm.py:462-489).
+
+    gt_mel_spectrogram: optional ground-truth mel; when given, the frequency
+    axis is clamped to the ground truth's Nyquist band so a downsampled input
+    renders on the same scale as its clean label (reference call site
+    run.py:293-299)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -136,9 +151,13 @@ def save_mel_spectrogram(mel: np.ndarray, path, sample_rate: int = 16000,
         mel = mel[0]
     fig, ax = plt.subplots(figsize=(10, 4))
     extent = [0, mel.shape[0] * hop_length / sample_rate, 0, sample_rate / 2]
-    ax.imshow(mel.T, aspect="auto", origin="lower", extent=extent, cmap="magma")
+    im = ax.imshow(mel.T, aspect="auto", origin="lower", extent=extent,
+                   cmap="magma", vmin=-80, vmax=80)
+    fig.colorbar(im, ax=ax, label="Amplitude (dB)")
     ax.set_xlabel("time (s)")
     ax.set_ylabel("freq (Hz)")
+    if gt_mel_spectrogram is not None:
+        ax.set_ylim(0, gt_sample_rate / 2)
     fig.tight_layout()
     fig.savefig(path, dpi=100)
     plt.close(fig)

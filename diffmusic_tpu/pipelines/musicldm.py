@@ -41,6 +41,7 @@ class MusicLDMPipeline:
     scheduler_name: str = "ddim"
     operator: BaseOperator = field(default_factory=IdentityOperator)
     tokenizer: Optional[Callable] = None  # texts -> (ids, attention_mask)
+    clap_audio_embed: Optional[Callable] = None  # waveform -> pooled 512-d
     dtype: jnp.dtype = jnp.float32
 
     def __post_init__(self):
@@ -76,6 +77,29 @@ class MusicLDMPipeline:
                                        jnp.asarray(nmask))
         nemb = nemb / jnp.linalg.norm(nemb, axis=-1, keepdims=True)
         return jnp.concatenate([nemb, emb], axis=0)
+
+    # -------------------------------------------------------------- ranking
+    def score_waveforms(self, text: str, audio, num_waveforms_per_prompt=None):
+        """Re-rank generated waveforms by CLAP text-audio similarity and keep
+        the top num_waveforms_per_prompt (reference
+        pipeline_musicldm.py:304-324: argsort of logits_per_text, descending,
+        then select). Needs a CLAP audio tower (clap_audio_embed)."""
+        if self.clap_audio_embed is None:
+            raise ValueError(
+                "score_waveforms requires a CLAP audio tower "
+                "(clap_audio_embed); load one via from_pretrained")
+        audio = jnp.asarray(audio)
+        ids, mask = self.tokenizer([text or ""])
+        tfeat = self.text_encoder.apply(self.text_params, jnp.asarray(ids),
+                                        jnp.asarray(mask))
+        tfeat = tfeat / jnp.linalg.norm(tfeat, axis=-1, keepdims=True)
+        afeat = self.clap_audio_embed(audio)
+        sim = (afeat @ tfeat.T)[:, 0]
+        order = jnp.argsort(-sim)
+        if num_waveforms_per_prompt is not None:
+            order = order[:num_waveforms_per_prompt]
+        import numpy as np
+        return np.asarray(audio[order]), np.asarray(sim[order])
 
     # ----------------------------------------------------------------- params
     def _denoise_params(self):
