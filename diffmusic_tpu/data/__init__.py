@@ -7,8 +7,10 @@ ever sees fixed-shape float32 arrays. The decorator registry keyed by file `type
 are preserved so run.py stays drop-in compatible.
 """
 
+from .codecs import decode_mp3, decode_opus, read_audio
 from .dataloader import (
     MP3Dataset,
+    OpusDataset,
     WAVDataset,
     get_dataloader,
     get_dataset,
@@ -18,9 +20,13 @@ from .io import read_wav, write_wav
 
 __all__ = [
     "MP3Dataset",
+    "OpusDataset",
     "WAVDataset",
+    "decode_mp3",
+    "decode_opus",
     "get_dataloader",
     "get_dataset",
+    "read_audio",
     "register_dataset",
     "read_wav",
     "write_wav",

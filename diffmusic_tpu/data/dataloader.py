@@ -87,23 +87,40 @@ class WAVDataset(_BaseAudioDataset):
 
 @register_dataset("mp3")
 class MP3Dataset(_BaseAudioDataset):
-    """MP3 decode via pydub/ffmpeg when present (reference dataloader.py:92-145
-    uses pydub). Neither ships in this image, so decode is gated with a clear
-    error instead of failing at import time."""
+    """MP3 decode on libmpg123 via ctypes (data/codecs.py) — the reference
+    (dataloader.py:92-145) shells out through pydub/ffmpeg; here the codec
+    library is bound directly (no subprocess, no temp files). pydub remains a
+    fallback when libmpg123 is somehow absent but pydub is installed."""
 
     EXTENSIONS = (".mp3", ".MP3")
 
     def _decode(self, path: Path) -> Tuple[np.ndarray, int]:
+        from .codecs import decode_mp3, have_mp3
+        if have_mp3():
+            return decode_mp3(path)
         try:
             from pydub import AudioSegment  # optional dependency
         except ImportError as e:
             raise RuntimeError(
-                "MP3 decoding requires pydub/ffmpeg, which are not installed in "
-                "this environment; convert inputs to WAV.") from e
+                "MP3 decoding needs libmpg123 (not found on this system) or "
+                "pydub/ffmpeg (not installed); convert inputs to WAV.") from e
         seg = AudioSegment.from_mp3(str(path))
         arr = np.array(seg.get_array_of_samples(), dtype=np.float32)
         arr = arr.reshape(-1, seg.channels).T / float(1 << (8 * seg.sample_width - 1))
         return arr, seg.frame_rate
+
+
+@register_dataset("opus")
+class OpusDataset(_BaseAudioDataset):
+    """Ogg/Opus decode: pure-python Ogg demuxer + libopus via ctypes
+    (data/codecs.py). Covers the reference fadtk's .opus test fixtures
+    (fadtk/test/samples) without its ffmpeg fallback (fad.py:160-183)."""
+
+    EXTENSIONS = (".opus", ".ogg", ".OPUS", ".OGG")
+
+    def _decode(self, path: Path) -> Tuple[np.ndarray, int]:
+        from .codecs import decode_opus
+        return decode_opus(path)
 
 
 class _SequentialLoader:

@@ -14,10 +14,20 @@ from typing import Callable, Optional, Sequence
 
 import numpy as np
 
-from ..data import read_wav
+from ..data import read_audio
 from ..metrics.embeddings import get_embedding_model
 from ..metrics.frechet import frechet_distance, _stats
 from ..ops.resample import resample
+
+# formats the engine scores directly (fadtk accepts wav and — through its
+# ffmpeg fallback, fad.py:160-183 — compressed audio; decode here is native,
+# data/codecs.py)
+AUDIO_EXTENSIONS = (".wav", ".mp3", ".opus", ".ogg")
+
+
+def _audio_files(directory: Path):
+    return sorted(p for p in Path(directory).iterdir()
+                  if p.suffix.lower() in AUDIO_EXTENSIONS)
 
 
 def cache_path(audio_path: Path, model_name: str) -> Path:
@@ -28,35 +38,56 @@ def cache_path(audio_path: Path, model_name: str) -> Path:
 
 
 def _load_16k(path) -> np.ndarray:
-    wav, sr = read_wav(path)
+    wav, sr = read_audio(path)
     wav = wav.mean(axis=0)
     if sr != 16000:
         wav = np.asarray(resample(wav[None], sr, 16000))[0]
     return wav.astype(np.float32)
 
 
-def cache_embedding_files(directory, model, workers: int = 1) -> int:
+def cache_embedding_files(directory, model, workers: int = 1,
+                          mesh=None) -> int:
     """Embed every .wav in `directory`, caching <dir>/embeddings/<model>/*.npy.
     Returns number of files newly embedded. Idempotent like fadtk
     (fad.py:193-200). For process-pool fan-out use fad_batch.cache_embedding_files
-    (reference fadtk/fad_batch.py:25-48)."""
+    (reference fadtk/fad_batch.py:25-48).
+
+    With a mesh and a batch-capable model (batch_embed), equal-length files
+    are embedded as one dp-sharded program over the mesh — the TPU-native
+    replacement for the reference's multiprocessing fan-out."""
     directory = Path(directory)
     load = getattr(model, "load_wav", _load_16k)
-    new = 0
-    for f in sorted(directory.glob("*.wav")):
-        out = cache_path(f, model.name)
-        if out.exists():
-            continue
-        out.parent.mkdir(parents=True, exist_ok=True)
-        emb = model(load(f))
-        np.save(out, emb)
-        new += 1
-    return new
+    todo = [f for f in _audio_files(directory)
+            if not cache_path(f, model.name).exists()]
+    if not todo:
+        return 0
+    for f in todo:
+        cache_path(f, model.name).parent.mkdir(parents=True, exist_ok=True)
+
+    if mesh is not None and hasattr(model, "batch_embed"):
+        by_len: dict = {}
+        wavs = {f: load(f) for f in todo}
+        for f, w in wavs.items():
+            by_len.setdefault(len(w), []).append(f)
+        dp = mesh.shape.get("dp", 1)
+        for files in by_len.values():
+            batch = np.stack([wavs[f] for f in files])
+            pad = (-len(files)) % dp  # dp-sharding needs a divisible batch
+            if pad:
+                batch = batch[np.arange(len(files) + pad) % len(files)]
+            embs = model.batch_embed(batch, mesh=mesh)
+            for f, e in zip(files, embs):
+                np.save(cache_path(f, model.name), e)
+        return len(todo)
+
+    for f in todo:
+        np.save(cache_path(f, model.name), model(load(f)))
+    return len(todo)
 
 
 class FADEngine:
     def __init__(self, model=None, model_name: str = "mfcc-stack",
-                 checkpoint_dir=None):
+                 checkpoint_dir=None, mesh=None):
         if model is None:
             if model_name == "mfcc-stack":
                 model = get_embedding_model(model_name)
@@ -64,10 +95,11 @@ class FADEngine:
                 from .model_loader import get_model
                 model = get_model(model_name, checkpoint_dir)
         self.model = model
+        self.mesh = mesh
 
     def _dir_embeddings(self, directory) -> np.ndarray:
         directory = Path(directory)
-        cache_embedding_files(directory, self.model)
+        cache_embedding_files(directory, self.model, mesh=self.mesh)
         embs = [np.load(p) for p in sorted(
             (directory / "embeddings" / self.model.name).glob("*.npy"))]
         if not embs:
@@ -122,7 +154,7 @@ class FADEngine:
         else:
             mu_b, cov_b = self.stats(baseline_dir)
         eval_dir = Path(eval_dir)
-        cache_embedding_files(eval_dir, self.model)
+        cache_embedding_files(eval_dir, self.model, mesh=self.mesh)
         rows = []
         for f in sorted((eval_dir / "embeddings" / self.model.name).glob("*.npy")):
             emb = np.load(f)

@@ -49,7 +49,8 @@ def cache_embedding_files(files: Union[str, Path, Sequence],
     <dir>/embeddings/<model>/<stem>.npy. Returns the number newly embedded.
     Idempotent (reference fad.py:193-200)."""
     if isinstance(files, (str, Path)):
-        files = sorted(Path(files).glob("*.wav"))
+        from .engine import _audio_files
+        files = _audio_files(files)
     files = [Path(f) for f in files]
     files = [f for f in files if not cache_path(f, model_name).exists()]
     if not files:

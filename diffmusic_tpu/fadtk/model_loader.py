@@ -61,8 +61,8 @@ class ModelLoader(ABC):
         ...
 
     def load_wav(self, wav_file):
-        from ..data import read_wav
-        wav, sr = read_wav(wav_file)
+        from ..data import read_audio  # wav/mp3/opus (data/codecs.py)
+        wav, sr = read_audio(wav_file)
         wav = wav.mean(axis=0)
         if sr != self.sr:
             from scipy.signal import resample_poly
