@@ -44,7 +44,15 @@ def main(compute_dtype=jnp.bfloat16):
     vae_params = cast(pipe.vae_params)
     voc_params = cast(pipe.vocoder_params)
 
-    measurement = op.forward(jnp.zeros((1, owl)))
+    # structured synthetic ground truth (harmonic stack + AM), so the
+    # guidance has a real measurement to reconstruct and the loss trajectory
+    # below is meaningful evidence, not a fit-to-silence artifact
+    sr = pipe.vocoder_cfg.sampling_rate
+    tt = np.arange(owl) / sr
+    gt = sum(0.25 / (i + 1) * np.sin(2 * np.pi * 220 * (i + 1) * tt)
+             for i in range(4)) * (0.6 + 0.4 * np.sin(2 * np.pi * 2.0 * tt))
+    gt_wave = jnp.asarray(gt, jnp.float32)[None]
+    measurement = op.forward(gt_wave)
     target_mel = op.transform(measurement)
     cfg = SamplerConfig(name="dps", eta=0.0, ip_guidance_rate=5e-4,
                         num_inference_steps=NUM_STEPS)
@@ -57,7 +65,7 @@ def main(compute_dtype=jnp.bfloat16):
     # params are jit ARGUMENTS (closure constants would embed ~1 GB of weights
     # into the HLO — the remote-compile tunnel rejects such payloads)
     @jax.jit
-    def sample(params, latents, key):
+    def sample(params, target_mel, latents, key):
         unet_p, vae_p, voc_p = params
 
         def model_fn(x, t):
@@ -90,19 +98,40 @@ def main(compute_dtype=jnp.bfloat16):
     params = (unet_params, vae_params, voc_params)
     latents = jax.random.normal(jax.random.key(0), lat_shape)
 
-    # compile (cached across runs by XLA's persistent cache where available)
+    # compile (cached across runs by XLA's persistent cache where available);
+    # target_mel is a jit ARGUMENT so changing the measurement does not
+    # invalidate the persistent-cache entry
     t0 = time.time()
-    final, losses = sample(params, latents, jax.random.key(1))
+    final, losses = sample(params, target_mel, latents, jax.random.key(1))
     final.block_until_ready()
     compile_and_first_run_s = time.time() - t0
 
     # timed run
     t0 = time.time()
-    final, losses = sample(params, latents, jax.random.key(2))
+    final, losses = sample(params, target_mel, latents, jax.random.key(2))
     final.block_until_ready()
     wall = time.time() - t0
 
-    assert np.isfinite(np.asarray(losses)).all(), "NaN loss in benchmark run"
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all(), "NaN loss in benchmark run"
+
+    # reconstruction evidence (VERDICT r1 item 6): measurement-consistency
+    # relative residual of the final sample — with random weights the sampler
+    # cannot hallucinate masked content, but guidance must demonstrably pull
+    # the OBSERVED region toward the measurement (loss trajectory decreasing)
+    @jax.jit
+    def consistency(params, lat):
+        _, vae_p, voc_p = params
+        mel = pipe.vae.apply(vae_p, (lat / scaling).astype(compute_dtype),
+                             method=AutoencoderKL.decode)
+        audio = op.inverse_transform(
+            mel, lambda m: pipe.vocoder.apply(voc_p, m))
+        pred = op.transform(op.forward(audio[:, :owl].astype(jnp.float32)))
+        return (jnp.linalg.norm(target_mel - pred)
+                / jnp.linalg.norm(target_mel))
+
+    rel_residual = float(consistency(params, final))
+    curve = [round(float(v), 2) for v in losses[::max(1, NUM_STEPS // 10)]]
 
     result = {
         "metric": "dps_200step_10s_inpainting_wall_clock",
@@ -113,7 +142,12 @@ def main(compute_dtype=jnp.bfloat16):
             "device": str(jax.devices()[0]),
             "compile_and_first_run_s": round(compile_and_first_run_s, 1),
             "seconds_of_audio_per_sec_per_chip": round(AUDIO_S / wall, 3),
-            "final_loss": float(losses[-1]),
+            "loss_curve_every_20_steps": curve,
+            "loss_first": round(float(losses[0]), 2),
+            "loss_final": round(float(losses[-1]), 2),
+            "loss_reduction": round(float(losses[0] / max(losses[-1], 1e-9)),
+                                    3),
+            "consistency_rel_residual": round(rel_residual, 4),
         },
     }
     print(json.dumps(result))

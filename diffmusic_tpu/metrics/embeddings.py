@@ -46,30 +46,45 @@ class MFCCStackEmbedding:
     def dim(self) -> int:
         return 4 * self.n_mfcc
 
-    def __call__(self, wav: np.ndarray) -> np.ndarray:
-        wav = np.asarray(wav, np.float32).reshape(-1)
-        x = jnp.asarray(wav[None])
+    def _embed_jax(self, x: jax.Array) -> jax.Array:
+        """(B, L) waveforms -> (B, windows, 4*n_mfcc). Pure jax (jit/dp-able)."""
         spec = spectrogram(x, n_fft=400, hop_length=160, win_length=400,
-                           power=2.0, use_hann=True)  # (1, 201, T)
+                           power=2.0, use_hann=True)  # (B, 201, T)
         fb = jnp.asarray(mel_filterbank(201, self.n_mels, self.sample_rate,
                                         f_min=125.0, f_max=7500.0))
         mel = jnp.einsum("bft,fm->bmt", spec, fb)
-        logmel = jnp.log(mel + 1e-6)[0].T  # (T, n_mels)
+        logmel = jnp.swapaxes(jnp.log(mel + 1e-6), 1, 2)  # (B, T, n_mels)
         dct = jnp.asarray(_dct_matrix(self.n_mels, self.n_mfcc))
-        mfcc = logmel @ dct  # (T, n_mfcc)
-        mfcc = np.asarray(mfcc)
+        mfcc = logmel @ dct  # (B, T, n_mfcc)
 
-        T = mfcc.shape[0]
+        T = mfcc.shape[1]
         if T < self.window_frames:
-            mfcc = np.pad(mfcc, ((0, self.window_frames - T), (0, 0)))
+            mfcc = jnp.pad(mfcc, ((0, 0), (0, self.window_frames - T), (0, 0)))
             T = self.window_frames
         frames = []
         for start in range(0, T - self.window_frames + 1, self.hop_frames):
-            w = mfcc[start:start + self.window_frames]
-            d = np.diff(w, axis=0)
-            frames.append(np.concatenate([
-                w.mean(0), w.std(0), d.mean(0), d.std(0)]))
-        return np.stack(frames).astype(np.float32)
+            w = mfcc[:, start:start + self.window_frames]
+            d = jnp.diff(w, axis=1)
+            frames.append(jnp.concatenate([
+                w.mean(1), w.std(1), d.mean(1), d.std(1)], axis=-1))
+        return jnp.stack(frames, axis=1)
+
+    def batch_embed(self, wavs: np.ndarray, mesh=None) -> np.ndarray:
+        """Embed a (B, L) batch of equal-length waveforms in one jitted
+        program; with a mesh, the batch axis shards over 'dp'
+        (parallel/mesh.py::data_parallel_map — the TPU-native replacement for
+        the reference fadtk's multiprocessing fan-out, fad_batch.py:46-48)."""
+        wavs = np.asarray(wavs, np.float32)
+        if mesh is not None:
+            from ..parallel.mesh import data_parallel_map
+            fn = data_parallel_map(self._embed_jax, mesh)
+        else:
+            fn = jax.jit(self._embed_jax)
+        return np.asarray(fn(jnp.asarray(wavs)), np.float32)
+
+    def __call__(self, wav: np.ndarray) -> np.ndarray:
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        return self.batch_embed(wav[None])[0]
 
 
 def get_embedding_model(name: str = "mfcc-stack", checkpoint_dir=None):

@@ -31,16 +31,23 @@ class FusedConv1D(nn.Module):
     slope: float | None = None
 
     @nn.compact
-    def __call__(self, x, residual=None):
-        from ..pallas.conv1d_kernel import conv1d_fused
+    def __call__(self, x, residual=None, signal_len: int | None = None):
+        from ..pallas.conv1d_kernel import conv1d_fused, conv1d_fused_canvas
+        cin = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (self.kernel_size, x.shape[-1], self.features))
+                            (self.kernel_size, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         # optional pre-transposed kernel for the guidance backward, threaded
         # as an 'adjoint' variable collection (with_adjoint_weights) so it is
         # computed once at load time, never inside the denoise scan
         w_adj = (self.get_variable("adjoint", "kernel_adj")
                  if self.has_variable("adjoint", "kernel_adj") else None)
+        if signal_len is not None:
+            # canvas (margin-carrying) contract: x/residual/result are
+            # to_canvas tensors; no pad/slice copies between chained convs
+            return conv1d_fused_canvas(x, kernel, bias, residual, signal_len,
+                                       self.dilation, self.slope,
+                                       residual is not None, w_adj=w_adj)
         return conv1d_fused(x, kernel, bias, residual, self.dilation,
                             self.slope, residual is not None, w_adj=w_adj)
 
@@ -98,12 +105,14 @@ class ResidualBlock(nn.Module):
     slope: float
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, signal_len: int | None = None):
         for i, d in enumerate(self.dilations):
             h = FusedConv1D(self.channels, self.kernel_size, dilation=d,
-                            slope=self.slope, name=f"convs1_{i}")(x)
+                            slope=self.slope, name=f"convs1_{i}")(
+                                x, signal_len=signal_len)
             x = FusedConv1D(self.channels, self.kernel_size,
-                            slope=self.slope, name=f"convs2_{i}")(h, residual=x)
+                            slope=self.slope, name=f"convs2_{i}")(
+                                h, residual=x, signal_len=signal_len)
         return x
 
 
@@ -140,13 +149,25 @@ class SpeechT5HifiGan(nn.Module):
                 ch, (k,), strides=(rate,), padding=[(pad, pad)],
                 transpose_kernel=True, name=f"upsampler_{i}")(x)
 
+            # canvas contract across the whole resblock stage: pad once, run
+            # the 6*num_kernels fused convs + residual adds margin-carrying,
+            # slice once (docs/PERF_NOTES.md round-2 roadmap item 1)
+            from ..pallas.conv1d_kernel import (canvas_ok, from_canvas,
+                                                to_canvas)
+            use_canvas = canvas_ok(ch, ch)
+            t = x.shape[1]
+            if use_canvas:
+                x = to_canvas(x)
             res = None
             for j, rk in enumerate(cfg.resblock_kernel_sizes):
                 out = ResidualBlock(ch, rk, cfg.resblock_dilation_sizes[j],
                                     cfg.leaky_relu_slope,
-                                    name=f"resblocks_{i * num_kernels + j}")(x)
+                                    name=f"resblocks_{i * num_kernels + j}")(
+                                        x, signal_len=t if use_canvas else None)
                 res = out if res is None else res + out
             x = res / num_kernels
+            if use_canvas:
+                x = from_canvas(x, t)
 
         x = _leaky(x, cfg.leaky_relu_slope)
         x = nn.Conv(1, (7,), padding=[(3, 3)], name="conv_post")(x)

@@ -242,3 +242,240 @@ def _on_tpu() -> bool:
 
 
 _conv1d_vjp.defvjp(_conv1d_fwd, _conv1d_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Canvas (margin-carrying) I/O contract
+#
+# The per-call jnp.pad / output-slice copies above cost a full activation
+# read+write per conv per direction — measured as the dominant residual
+# vocoder overhead and the full-program penalty that killed the pallas
+# adjoint (docs/PERF_NOTES.md "pad-free margin-carrying kernel I/O").
+#
+# Contract: activations live on a CANVAS of shape (B, (blocks+2)*TB, C) with
+# the signal occupying [TB, TB+t) and ZEROS everywhere outside it ("zero
+# margins"). Each canvas conv reads aligned windows straight from the canvas
+# (no pad), writes its output in the same layout, and re-establishes the
+# invariant itself: two extra grid programs write the margin blocks as zeros
+# and the last compute block masks the signal tail. A chain of convs +
+# residual adds (the HiFi-GAN ResidualBlock stages) then pads ONCE at entry
+# (to_canvas) and slices ONCE at exit (from_canvas), in both the forward and
+# the custom-VJP backward.
+# ---------------------------------------------------------------------------
+
+
+def canvas_blocks(t: int) -> int:
+    return math.ceil(t / TIME_BLOCK)
+
+
+def to_canvas(x):
+    """(B, t, C) -> (B, (blocks+2)*TB, C); signal at [TB, TB+t), zero margins."""
+    t = x.shape[1]
+    blocks = canvas_blocks(t)
+    return jnp.pad(x, ((0, 0), (TIME_BLOCK, (blocks + 1) * TIME_BLOCK - t),
+                       (0, 0)))
+
+
+def from_canvas(xc, t: int):
+    """Inverse of to_canvas for a signal of (static) length t."""
+    return xc[:, TIME_BLOCK:TIME_BLOCK + t, :]
+
+
+def canvas_ok(cin: int, cout: int) -> bool:
+    """Mosaic DMA lane dims must be 128-aligned; off-TPU (non-interpret) the
+    plain XLA path wins, so canvas routing is TPU + aligned channels only.
+
+    DEFAULT OFF on TPU (DIFFMUSIC_TPU_CANVAS=1 to enable): measured vocoder
+    fwd+bwd 60.4 ms/iter vs 34.3 with the per-call-pad forward + XLA adjoint
+    — removing the boundary pad/slice copies did NOT remove the full-program
+    pallas-adjoint penalty (docs/PERF_NOTES.md round-2 canvas experiment), so
+    the boundary-copy hypothesis for that penalty is refuted and the old
+    routing stays the production default."""
+    import os
+    enabled = os.environ.get("DIFFMUSIC_TPU_CANVAS", "0") == "1"
+    return (_INTERPRET or (enabled and _on_tpu())) \
+        and cin % 128 == 0 and cout % 128 == 0
+
+
+def _canvas_kernel(x_hbm, w_ref, b_ref, r_ref, out_ref, xs_ref, sem, *,
+                   k: int, dilation: int, margin: int, tail: int,
+                   slope, has_residual: bool, adjoint: bool):
+    bsz_i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)           # blocks + 2
+    blocks = nj - 2
+    pad = (k - 1) * dilation // 2
+    win = TIME_BLOCK + 2 * margin
+    total = pl.num_programs(0) * blocks
+
+    def dma_for(lin_idx):
+        bb = lin_idx // blocks
+        jj = jax.lax.rem(lin_idx, blocks) + 1
+        slot = jax.lax.rem(lin_idx, 2)
+        # margin is a sublane multiple and TIME_BLOCK is a lane multiple, so
+        # the window start is tile-aligned — assert it for Mosaic's
+        # divisibility analysis (it can't prove it through the subtraction)
+        start = pl.multiple_of(jj * TIME_BLOCK - margin, margin)
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(start, win), :],
+            xs_ref.at[slot], sem.at[slot])
+
+    is_zero = jnp.logical_or(j == 0, j == nj - 1)
+    lin = bsz_i * blocks + (j - 1)
+
+    @pl.when(jnp.logical_and(bsz_i == 0, j == 0))
+    def _():
+        dma_for(0).start()
+
+    @pl.when(is_zero)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    @pl.when(jnp.logical_not(is_zero))
+    def _():
+        # double-buffered prefetch of the NEXT compute window (grid steps run
+        # sequentially; the copy hides behind this block's k MXU dots)
+        @pl.when(lin + 1 < total)
+        def _():
+            dma_for(lin + 1).start()
+
+        dma_for(lin).wait()
+        xs = xs_ref[jax.lax.rem(lin, 2)]
+        if slope is not None:
+            xf = xs.astype(jnp.float32)   # no bf16 compare on this target
+            xs = jnp.where(xf >= 0, xf, slope * xf).astype(xs.dtype)
+
+        acc = None
+        base = margin - pad
+        for tap in range(k):
+            w_tap = w_ref[k - 1 - tap] if adjoint else w_ref[tap]
+            dims = (((1,), (1,)), ((), ())) if adjoint \
+                else (((1,), (0,)), ((), ()))
+            off = base + tap * dilation
+            d = jax.lax.dot_general(xs[off:off + TIME_BLOCK, :], w_tap, dims,
+                                    preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        acc = acc + b_ref[:, :].astype(jnp.float32)
+        if has_residual:
+            acc = acc + r_ref[0].astype(jnp.float32)
+        if tail < TIME_BLOCK:
+            # zero the positions past the signal end so the consumer's zero-
+            # margin invariant holds without any host-side masking
+            row = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+            acc = jnp.where(jnp.logical_and(j == blocks, row >= tail),
+                            jnp.float32(0), acc)
+        out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _conv1d_canvas_pallas(xc, w, b, t: int, dilation: int, slope,
+                          residual, adjoint: bool = False):
+    """Canvas-contract conv: xc, residual, and the result are canvas-shaped."""
+    bsz, tc, cin = xc.shape
+    k = w.shape[0]
+    cout = w.shape[1] if adjoint else w.shape[2]
+    blocks = canvas_blocks(t)
+    assert tc == (blocks + 2) * TIME_BLOCK, (tc, t)
+    pad = (k - 1) * dilation // 2
+    margin = _sublane_round(max(pad, 1), xc.dtype)
+    tail = t - (blocks - 1) * TIME_BLOCK
+
+    has_residual = residual is not None
+    if has_residual:
+        rp = residual
+        r_index = lambda b_, j: (b_, j, 0)
+    else:
+        rp = jnp.zeros((bsz, TIME_BLOCK, cout), xc.dtype)
+        r_index = lambda b_, j: (b_, 0, 0)
+
+    kernel = functools.partial(_canvas_kernel, k=k, dilation=dilation,
+                               margin=margin, tail=tail, slope=slope,
+                               has_residual=has_residual, adjoint=adjoint)
+    win = TIME_BLOCK + 2 * margin
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bsz, (blocks + 2) * TIME_BLOCK, cout),
+                                       xc.dtype),
+        grid=(bsz, blocks + 2),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),               # canvas in HBM
+            pl.BlockSpec(w.shape, lambda b_, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b_, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TIME_BLOCK, cout), r_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TIME_BLOCK, cout), lambda b_, j: (b_, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, win, cin), xc.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * blocks * TIME_BLOCK * k * cin * cout,
+            bytes_accessed=xc.dtype.itemsize * bsz * blocks * win * cin,
+            transcendentals=0),
+        interpret=_INTERPRET,
+    )(xc, w, b.reshape(1, cout), rp)
+
+
+def _canvas_reference(xc, w, b, t, dilation, slope, residual):
+    """Identical canvas semantics on the plain XLA path (grad checks / CPU)."""
+    x = from_canvas(xc, t)
+    r = from_canvas(residual, t) if residual is not None else None
+    return to_canvas(_conv1d_reference(x, w, b, dilation, slope, r))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _canvas_vjp(xc, w, b, residual, w_adj, t: int, dilation: int, slope,
+                has_residual: bool):
+    r = residual if has_residual else None
+    if not _INTERPRET and not _on_tpu():
+        return _canvas_reference(xc, w, b, t, dilation, slope, r)
+    return _conv1d_canvas_pallas(xc, w, b, t, dilation, slope, r)
+
+
+def conv1d_fused_canvas(xc, w, b, residual, t: int, dilation: int = 1,
+                        slope=None, has_residual: bool = False, w_adj=None):
+    """Canvas-contract version of conv1d_fused (see module banner above).
+
+    xc and residual are canvas tensors (to_canvas layout, zero margins); the
+    result is a canvas tensor with the invariant re-established. Only call
+    when canvas_ok(cin, cout) — channels must be 128-aligned for the DMA.
+    The backward runs the SAME kernel on the (canvas-shaped, zero-margin)
+    cotangent with the pre-transposed w_adj — no boundary copies anywhere in
+    the differentiated chain.
+    """
+    return _canvas_vjp(xc, w, b, residual, w_adj, t, dilation, slope,
+                       has_residual)
+
+
+def _canvas_fwd(xc, w, b, residual, w_adj, t, dilation, slope, has_residual):
+    out = _canvas_vjp(xc, w, b, residual, w_adj, t, dilation, slope,
+                      has_residual)
+    return out, (xc, w, w_adj)
+
+
+def _canvas_bwd(t, dilation, slope, has_residual, res, g):
+    xc, w, w_adj = res
+    g16 = g.astype(w.dtype)
+    zero_b = jnp.zeros((w.shape[1],), w.dtype)
+    if not _INTERPRET and not _on_tpu():
+        w_adj_local = jnp.flip(w, axis=0).swapaxes(1, 2)
+        dx = _canvas_reference(g16, w_adj_local, zero_b, t, dilation, None,
+                               None)
+    elif w_adj is not None:
+        dx = _conv1d_canvas_pallas(g16, w_adj.astype(w.dtype), zero_b, t,
+                                   dilation, None, None)
+    else:
+        dx = _conv1d_canvas_pallas(g16, w, zero_b, t, dilation, None, None,
+                                   adjoint=True)
+    if slope is not None:
+        dx = jnp.where(xc >= 0, dx, slope * dx)
+    dres = g if has_residual else None
+    dw_adj = None if w_adj is None else jnp.zeros_like(w_adj)
+    return (dx.astype(xc.dtype), jnp.zeros_like(w),
+            jnp.zeros((w.shape[2],), xc.dtype), dres, dw_adj)
+
+
+_canvas_vjp.defvjp(_canvas_fwd, _canvas_bwd)

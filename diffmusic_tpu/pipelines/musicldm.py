@@ -43,6 +43,10 @@ class MusicLDMPipeline:
     tokenizer: Optional[Callable] = None  # texts -> (ids, attention_mask)
     clap_audio_embed: Optional[Callable] = None  # waveform -> pooled 512-d
     dtype: jnp.dtype = jnp.float32
+    # device mesh for the num_waveforms_per_prompt batch axis (dp) and weight
+    # output channels (tp); None = single device. GSPMD propagates the input
+    # shardings through the whole jitted denoise scan (parallel/mesh.py).
+    mesh: Optional[object] = None
 
     def __post_init__(self):
         self.unet = UNet2DConditionModel(self.unet_cfg)
@@ -259,6 +263,27 @@ class MusicLDMPipeline:
             latents = prepare_latents(lat_key, batch, self.unet_cfg.in_channels,
                                       height, self.vocoder_cfg.model_in_dim,
                                       self.vae_scale_factor, self.dtype)
+        batch = latents.shape[0]
+
+        # tile the conditioning across the waveform batch (reference
+        # pipeline_musicldm.py:195-196 repeats prompt_embeds per waveform);
+        # jnp.repeat keeps the CFG halves ordered [uncond*B, cond*B] to match
+        # the concat([x, x]) layout in _eps_fn
+        if batch > 1:
+            def _tile(e):
+                return jnp.repeat(e, batch, axis=0) if hasattr(e, "shape") \
+                    and e.ndim >= 1 else e
+            prompt_embeds = jax.tree.map(_tile, prompt_embeds) \
+                if isinstance(prompt_embeds, tuple) else _tile(prompt_embeds)
+
+        if self.mesh is not None:
+            # dp-shard the waveform batch over ICI; params/conditioning stay
+            # replicated and GSPMD inserts the collectives (SURVEY.md section 2
+            # TPU-native equivalents; no reference counterpart — it is
+            # single-GPU, run.py:217)
+            from ..parallel.mesh import shard_batch_dp
+            latents = jax.device_put(
+                latents, shard_batch_dp(self.mesh, latents.ndim))
 
         timesteps = jnp.asarray(self.schedule.timesteps(num_inference_steps))
         cfg = SamplerConfig(name=self.scheduler_name, eta=eta,

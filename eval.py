@@ -21,6 +21,10 @@ def parse_arguments():
                    help="also compute FAD-inf extrapolation")
     p.add_argument("--individual", type=str, default=None,
                    help="write per-song FAD CSV to this path")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="device mesh spec e.g. 'dp=8': shards embedding "
+                        "batches over the chips jax.devices() sees "
+                        "(batch-capable embedders only)")
     return p.parse_args()
 
 
@@ -46,6 +50,11 @@ def main():
     if not gt or not recon:
         raise SystemExit("no .wav files found in one of the directories")
 
+    mesh = None
+    if args.mesh:
+        from run import parse_mesh
+        mesh = parse_mesh(args.mesh)
+
     scores = {}
     first_model = None
     for name in args.embedding:  # per-model FAD loop (reference eval.py:56-73)
@@ -53,7 +62,7 @@ def main():
         model = get_model(name) if name != "mfcc-stack" \
             else get_embedding_model(name)
         first_model = first_model or model
-        engine = FADEngine(model=model)
+        engine = FADEngine(model=model, mesh=mesh)
         scores[f"FAD ({name})"] = engine.score(args.ground_truth_dir,
                                                args.recon_dir)
         if args.fad_inf:

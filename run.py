@@ -51,7 +51,25 @@ def parse_arguments() -> Namespace:
                         help="random tiny-weights smoke mode (CPU-friendly)")
     parser.add_argument("--num_inference_steps", type=int, default=None,
                         help="override config num_inference_steps")
+    parser.add_argument("-nw", "--num_waveforms_per_prompt", type=int, default=1,
+                        help="generate N candidates; best by CLAP re-ranking "
+                             "is written (reference pipeline_musicldm.py:304)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="device mesh spec, e.g. 'dp=4' or 'dp=2,tp=4': "
+                             "shards the candidate batch (dp) and weight "
+                             "channels (tp) over the chips jax.devices() sees")
     return parser.parse_args()
+
+
+def parse_mesh(spec):
+    """'dp=2,tp=4' -> a jax Mesh (parallel/mesh.py)."""
+    if not spec:
+        return None
+    from diffmusic_tpu.parallel.mesh import make_mesh
+    kv = dict(part.split("=") for part in spec.split(","))
+    dp, tp = int(kv.get("dp", 0)) or None, int(kv.get("tp", 0)) or None
+    n = (dp or 1) * (tp or 1)
+    return make_mesh(n_devices=n, dp=dp, tp=tp)
 
 
 def build_operator(args, config, noiser):
@@ -135,6 +153,8 @@ def main() -> None:
         f"data={args.datasets}", f"model={args.model}"])
     if args.num_inference_steps is not None:
         config.model.pipe.num_inference_steps = args.num_inference_steps
+    if args.num_waveforms_per_prompt != 1:
+        config.model.pipe.num_waveforms_per_prompt = args.num_waveforms_per_prompt
 
     output_dir = Path("outputs", config.model.name, config.data.name,
                       args.config_name, args.task)
@@ -145,6 +165,7 @@ def main() -> None:
     noiser = get_noiser(**config.inverse_problem.noise)
     operator, downsample_scale = build_operator(args, config, noiser)
     pipe = load_pipeline(args, config, operator)
+    pipe.mesh = parse_mesh(args.mesh)
 
     audio_length_in_s = config.model.pipe.audio_length_in_s
     sr = config.data.sample_rate
@@ -191,10 +212,14 @@ def main() -> None:
             key, mkey = jax.random.split(key)
             ref_wave = operator.forward(gt_wave, mkey)
             ref_mel = np.asarray(wav2mel(ref_wave))[:, :, :mel_frames]
+            # gt mel clamps the frequency axis so a downsampled input renders
+            # on the ground truth's scale (reference run.py:293-300)
             save_mel_spectrogram(ref_mel.transpose(0, 2, 1),
                                  Path(output_dir, "mel_input",
                                       file_name).with_suffix(".png"),
-                                 sr // downsample_scale)
+                                 sr // downsample_scale,
+                                 gt_mel_spectrogram=gt_mel.transpose(0, 2, 1),
+                                 gt_sample_rate=sr)
             measurement = ref_wave
         else:
             key, mkey = jax.random.split(key)
@@ -220,6 +245,18 @@ def main() -> None:
             **config.model.pipe,
         )
         audio = out.audios
+        if config.model.pipe.num_waveforms_per_prompt > 1:
+            # CLAP re-ranking: write the best text-match first (the reference
+            # defines score_waveforms but its call site is commented out,
+            # plpeline_audioldm2.py:1240 — wired here)
+            if getattr(pipe, "clap_audio_embed", None) is not None:
+                audio, sims = pipe.score_waveforms(
+                    args.prompt, audio,
+                    config.model.pipe.num_waveforms_per_prompt)
+                print(f"CLAP re-ranking similarities: {np.round(sims, 4)}")
+            else:
+                print("num_waveforms_per_prompt > 1 but no CLAP audio tower "
+                      "loaded; keeping generation order")
 
         write_wav(Path(output_dir, "wav_label", file_name), np.asarray(gt_wave)[0], sr)
         if ref_wave is not None:

@@ -99,6 +99,66 @@ class TestConv1dFused:
                                    np.asarray(blk.apply(params, x)),
                                    rtol=1e-6, atol=1e-6)
 
+    @pytest.mark.parametrize("k,d,t", [(3, 1, 700), (7, 3, 1024), (11, 5, 1300)])
+    def test_canvas_matches_reference(self, rng, k, d, t):
+        """Canvas-contract conv == pad-once reference, including the zero-
+        margin invariant of the output (margins and tail exactly zero)."""
+        x = jnp.asarray(rng.standard_normal((1, t, 128)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, 128, 128)) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32)
+        xc = ck.to_canvas(x)
+        yc = ck.conv1d_fused_canvas(xc, w, b, None, t, d, 0.1, False)
+        want = _conv1d_reference(x, w, b, d, 0.1, None)
+        np.testing.assert_allclose(np.asarray(ck.from_canvas(yc, t)),
+                                   np.asarray(want), rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(ck.to_canvas(
+            ck.from_canvas(yc, t))), np.asarray(yc))  # invariant holds
+
+    def test_canvas_chain_gradient(self, rng):
+        """Gradient through a canvas resblock-style chain (conv -> conv+res)
+        must equal autodiff through the plain reference composition."""
+        t, c = 900, 128
+        x = jnp.asarray(rng.standard_normal((1, t, c)), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((7, c, c)) * 0.05, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((3, c, c)) * 0.05, jnp.float32)
+        b = jnp.zeros((c,))
+        w2_adj = jnp.flip(w2, axis=0).swapaxes(1, 2)
+
+        def loss_canvas(x_):
+            xc = ck.to_canvas(x_)
+            h = ck.conv1d_fused_canvas(xc, w1, b, None, t, 3, 0.1, False)
+            y = ck.conv1d_fused_canvas(h, w2, b, xc, t, 1, 0.1, True,
+                                       w_adj=w2_adj)
+            return jnp.sum(ck.from_canvas(y, t) ** 2)
+
+        def loss_ref(x_):
+            h = _conv1d_reference(x_, w1, b, 3, 0.1, None)
+            return jnp.sum(_conv1d_reference(h, w2, b, 1, 0.1, x_) ** 2)
+
+        np.testing.assert_allclose(np.asarray(jax.grad(loss_canvas)(x)),
+                                   np.asarray(jax.grad(loss_ref)(x)),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_vocoder_canvas_routing_semantics(self, rng):
+        """The stage-level canvas routing in SpeechT5HifiGan must not change
+        outputs: interpret-mode canvas vocoder == plain CPU-path vocoder."""
+        from diffmusic_tpu.models.configs import HiFiGANConfig
+        from diffmusic_tpu.models.hifigan import SpeechT5HifiGan
+
+        cfg = HiFiGANConfig(model_in_dim=64, upsample_initial_channel=256,
+                            upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                            resblock_kernel_sizes=(3,),
+                            resblock_dilation_sizes=((1, 3),))
+        voc = SpeechT5HifiGan(cfg)
+        mel = jnp.asarray(rng.standard_normal((1, 40, 64)), jnp.float32)
+        params = voc.init(jax.random.key(0), mel)
+        got = voc.apply(params, mel)           # canvas path (interpret mode)
+        ck._INTERPRET = False
+        want = voc.apply(params, mel)          # plain XLA path
+        ck._INTERPRET = True
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_hifigan_residual_block_unchanged_semantics(self, rng):
         """The rewired ResidualBlock must match the original
         leaky->conv->leaky->conv(+res) composition parameter-for-parameter."""
