@@ -479,3 +479,188 @@ def _canvas_bwd(t, dilation, slope, has_residual, res, g):
 
 
 _canvas_vjp.defvjp(_canvas_fwd, _canvas_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused conv PAIR: one kernel call computes a whole HiFi-GAN ResidualBlock
+# iteration  y = conv2(leaky(conv1(leaky(x)) + b1)) + b2 + x  (conv1 dilated,
+# conv2 dilation-1, same odd k), emitting the intermediate h = conv1(leaky(x))
+# + b1 as a second output for the backward's leaky-derivative mask.
+#
+# Versus two fused calls, the forward's HBM traffic drops from 3 activation
+# reads + 2 writes to 1 read + 2 writes (h never round-trips as an input),
+# and the pallas call count halves. The backward stays the measured-best XLA
+# conv adjoint (see _conv1d_bwd notes) — two adjoint convs + masks.
+# ---------------------------------------------------------------------------
+
+
+def _conv_pair_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, y_ref, h_ref,
+                      xs_ref, sem, *, k: int, dilation: int, h1r: int,
+                      h2r: int, pad1: int, pad2: int, slope, t_valid: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(1)
+    win = TIME_BLOCK + 2 * (h1r + h2r)
+    lin = b * nb + i
+    total = pl.num_programs(0) * nb
+
+    def dma_for(lin_idx):
+        bb = lin_idx // nb
+        ii = lin_idx % nb
+        slot = jax.lax.rem(lin_idx, 2)
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * TIME_BLOCK, win), :], xs_ref.at[slot],
+            sem.at[slot])
+
+    @pl.when(lin == 0)
+    def _():
+        dma_for(lin).start()
+
+    @pl.when(lin + 1 < total)
+    def _():
+        dma_for(lin + 1).start()
+
+    dma_for(lin).wait()
+    raw = xs_ref[jax.lax.rem(lin, 2)]            # (win, C) input dtype
+    rawf = raw.astype(jnp.float32)
+    xs = jnp.where(rawf >= 0, rawf, slope * rawf).astype(raw.dtype)
+
+    # conv1 over the extended range [-h2r, TB + h2r) so conv2 has its halo
+    nh = TIME_BLOCK + 2 * h2r
+    r0 = h1r - pad1
+    acc1 = None
+    for j in range(k):
+        d = jax.lax.dot_general(xs[r0 + j * dilation:r0 + j * dilation + nh, :],
+                                w1_ref[j], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        acc1 = d if acc1 is None else acc1 + d
+    h = acc1 + b1_ref[:, :].astype(jnp.float32)  # (nh, C) fp32
+    # conv2 consumes h ZERO-padded outside [0, t): rows beyond the signal
+    # carry the conv1 bias otherwise (the separate-call reference pads the
+    # materialized h with zeros)
+    row = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0) \
+        + i * TIME_BLOCK - h2r
+    h = jnp.where(jnp.logical_and(row >= 0, row < t_valid), h,
+                  jnp.float32(0))
+    h_ref[0] = h[h2r:h2r + TIME_BLOCK].astype(h_ref.dtype)
+
+    hs = jnp.where(h >= 0, h, slope * h).astype(raw.dtype)
+    c0 = h2r - pad2
+    acc2 = None
+    for j in range(k):
+        d = jax.lax.dot_general(hs[c0 + j:c0 + j + TIME_BLOCK, :], w2_ref[j],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        acc2 = d if acc2 is None else acc2 + d
+    y = acc2 + b2_ref[:, :].astype(jnp.float32) \
+        + rawf[h1r + h2r:h1r + h2r + TIME_BLOCK]
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def _conv1d_pair_pallas(x, w1, b1, w2, b2, dilation: int, slope):
+    bsz, t, cin = x.shape
+    k = w1.shape[0]
+    cout = w1.shape[2]
+    pad1 = (k - 1) * dilation // 2
+    pad2 = (k - 1) // 2
+    h1r = _sublane_round(max(pad1, 1), x.dtype)
+    h2r = _sublane_round(max(pad2, 1), x.dtype)
+    blocks = math.ceil(t / TIME_BLOCK)
+    ht = h1r + h2r
+    right = blocks * TIME_BLOCK + ht - t
+    xp = jnp.pad(x, ((0, 0), (ht, right), (0, 0)))
+
+    kernel = functools.partial(_conv_pair_kernel, k=k, dilation=dilation,
+                               h1r=h1r, h2r=h2r, pad1=pad1, pad2=pad2,
+                               slope=slope, t_valid=t)
+    win = TIME_BLOCK + 2 * ht
+    y, h = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((bsz, blocks * TIME_BLOCK, cout),
+                                        x.dtype),
+                   jax.ShapeDtypeStruct((bsz, blocks * TIME_BLOCK, cout),
+                                        x.dtype)),
+        grid=(bsz, blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),               # x stays in HBM
+            pl.BlockSpec(w1.shape, lambda b_, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, lambda b_, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, TIME_BLOCK, cout),
+                                lambda b_, i: (b_, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TIME_BLOCK, cout),
+                                lambda b_, i: (b_, i, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, win, cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bsz * blocks * TIME_BLOCK * k * cin * cout,
+            bytes_accessed=x.dtype.itemsize * bsz * blocks * win * cin * 3,
+            transcendentals=0),
+        interpret=_INTERPRET,
+    )(xp, w1, b1.reshape(1, cout), w2, b2.reshape(1, cout))
+    return y[:, :t, :], h[:, :t, :]
+
+
+def _pair_reference(x, w1, b1, w2, b2, dilation, slope):
+    h = _conv1d_reference(x, w1, b1, dilation, slope, None)
+    return _conv1d_reference(h, w2, b2, 1, slope, x), h
+
+
+def pair_ok(k: int, cin: int, cout: int, dtype) -> bool:
+    """Pair routing: TPU/interpret, 128-aligned channels, and both weight
+    tensors resident in VMEM with room for the window/h buffers (the k=11
+    C=512 stage-0 resblock at 11.5 MB of weights is over budget)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    weights_mb = 2 * k * cin * cout * itemsize / 2 ** 20
+    return (_INTERPRET or _on_tpu()) and cin % 128 == 0 \
+        and cout % 128 == 0 and weights_mb <= 9.0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def conv1d_fused_pair(x, w1, b1, w2, b2, dilation: int, slope):
+    """y = conv2(leaky(conv1(leaky(x)) + b1)) + b2 + x — one ResidualBlock
+    iteration (models/hifigan.py::ResidualBlock) in a single fused kernel.
+    Only call when pair_ok(...). Weight/bias cotangents are symbolic zeros
+    (frozen-weight inference framework, like conv1d_fused)."""
+    if not _INTERPRET and not _on_tpu():
+        return _pair_reference(x, w1, b1, w2, b2, dilation, slope)[0]
+    return _conv1d_pair_pallas(x, w1, b1, w2, b2, dilation, slope)[0]
+
+
+def _pair_fwd(x, w1, b1, w2, b2, dilation, slope):
+    if not _INTERPRET and not _on_tpu():
+        y, h = _pair_reference(x, w1, b1, w2, b2, dilation, slope)
+    else:
+        y, h = _conv1d_pair_pallas(x, w1, b1, w2, b2, dilation, slope)
+    return y, (x, h, w1, w2)
+
+
+def _pair_bwd(dilation, slope, res, g):
+    x, h, w1, w2 = res
+    g16 = g.astype(w1.dtype)
+    zero_b = jnp.zeros((w1.shape[1],), w1.dtype)
+    # adjoint of 'same' odd-k conv = same conv with flipped-transposed kernel
+    # (XLA path — the measured-best backward, see _conv1d_bwd)
+    w2_adj = jnp.flip(w2, axis=0).swapaxes(1, 2)
+    dhs = _conv1d_reference(g16, w2_adj, zero_b, 1, None, None)
+    dh = jnp.where(h >= 0, dhs, slope * dhs)
+    w1_adj = jnp.flip(w1, axis=0).swapaxes(1, 2)
+    dxs = _conv1d_reference(dh.astype(w1.dtype), w1_adj, zero_b, dilation,
+                            None, None)
+    dx = jnp.where(x >= 0, dxs, slope * dxs) + g
+    return (dx.astype(x.dtype), jnp.zeros_like(w1),
+            jnp.zeros((w1.shape[2],), x.dtype), jnp.zeros_like(w2),
+            jnp.zeros((w2.shape[2],), x.dtype))
+
+
+conv1d_fused_pair.defvjp(_pair_fwd, _pair_bwd)

@@ -9,18 +9,16 @@ written once per block.
 
 K and V for the full sequence are computed outside (two large XLA GEMMs over
 LN1(x)); the kernel recomputes LN1 per q-block (cheap, keeps x the only
-activation input).
+activation input). Per-head logits use the kT (C, T) layout so the 8-row head
+slices are sublane-aligned; q/k/v operands are bf16 with fp32 accumulation.
 
-head_dim is 8 for every UNet level, so naive per-head (QB, 8) @ (8, T) logits
-dots waste 15/16 of the MXU's K dimension (and the (QB, T) @ (T, 8) PV dots
-the same in N). Instead ALL heads run as ONE full-K dot via block-diagonal
-row stacking: BD (heads*QB, C) holds head h's q slice in row block h /
-column block h and zeros elsewhere, so BD @ K^T (C, TK) yields every head's
-logits in one (heads*QB, TK) matmul with zero K padding; P @ V (TK, C) is
-the mirror image, with the per-head output extracted by the same mask. T is
-processed in TK chunks with a running online softmax so the stacked logits
-stay inside VMEM (this also restores the roadmap's larger q-footprint:
-heads*QB rows per program instead of QB).
+NOTE (round-2 negative result, measured): a block-diagonal stacked-heads
+formulation — all heads' logits as ONE full-K (heads*QB, C) @ (C, TK) dot
+with an online-softmax chunk loop — measured 2.849 ms/call vs 2.25 for this
+per-head loop at (2, 4000, 128, 16). The MXU tile work is identical in both
+(K=8 padding wastes 15/16 either way), so the extra VPU masking/extraction
+and fori_loop carries only added overhead. Useful-FLOP waste at head_dim=8
+is structural; do not revisit without changing the head geometry.
 
 Backward (optim_prompt / DITTO only; DPS-family guidance never differentiates
 the UNet): XLA recompute via the reference composition.
@@ -34,8 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-M_ROWS = 2048  # stacked (heads * QB) rows per program; QB = M_ROWS // heads
-TK = 512       # K/V chunk length for the online softmax (VMEM: s fp32 4 MB)
+QB = 128  # 256 needs 24.45 MB VMEM (8.45 over limit) without a two-pass online softmax
 
 # test hook: run in interpreter mode on CPU
 _INTERPRET = False
@@ -72,50 +69,34 @@ def _block_kernel(x_ref, kt_ref, v_ref, ln1_ref, wq_ref, wo_ref, bo_ref,
     x = x_ref[0]                                # (QB, C) input dtype
     kt = kt_ref[0]                              # (C, T_pad) input dtype
     v = v_ref[0, :, :]                          # (T_pad, C) value
-    qb, c = x.shape
-    t_pad = v.shape[0]
-    m_rows = heads * qb
 
     h1 = _layer_norm(x, ln1_ref[0, :], ln1_ref[1, :])     # (QB, C) fp32
     q = jnp.dot(h1.astype(x.dtype), wq_ref[:, :],
                 preferred_element_type=jnp.float32)        # (QB, C)
 
-    # block-diagonal row stacking (module banner): row block h carries head
-    # h's q slice only, so ONE (M, C) @ (C, TK) dot computes every head's
-    # logits with the MXU's K dimension fully used
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (m_rows, c), 0) // qb
-    col_head = jax.lax.broadcasted_iota(jnp.int32, (m_rows, c), 1) // head_dim
-    bd_mask = row_head == col_head
-    q_tiled = jnp.broadcast_to(q[None], (heads, qb, c)).reshape(m_rows, c)
-    bd_q = jnp.where(bd_mask, q_tiled, 0.0).astype(x.dtype)
-
-    # online softmax over TK-length K/V chunks (exp via exp2; the softmax
-    # scale folds into the exponent multiplier — identical math)
-    log2e_scale = scale * 1.4426950408889634
-    m_run = jnp.full((m_rows, 1), -1e30, jnp.float32)
-    denom = jnp.zeros((m_rows, 1), jnp.float32)
-    acc = jnp.zeros((m_rows, c), jnp.float32)
-    for ci in range(t_pad // TK):
-        s = jax.lax.dot_general(bd_q, kt[:, ci * TK:(ci + 1) * TK],
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        if t_valid != t_pad:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ci * TK
+    outs = []
+    for h in range(heads):
+        lo = h * head_dim
+        # bf16 q/k operands (fp32 accumulate): fp32xfp32 MXU dots run at a
+        # fraction of the bf16 rate; same operand precision as the flash
+        # kernel and XLA's dot_product_attention on bf16 inputs
+        qh = q[:, lo:lo + head_dim].astype(x.dtype)        # (QB, D)
+        kth = kt[lo:lo + head_dim, :]                      # (D, T) sublane slice
+        s = jax.lax.dot_general(qh, kth, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if t_valid != v.shape[0]:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < t_valid, s, -1e30)
-        m_new = jnp.maximum(m_run, jnp.max(s, axis=-1, keepdims=True))
-        corr = jnp.exp2((m_run - m_new) * log2e_scale)
-        p = jnp.exp2((s - m_new) * log2e_scale)
-        pv = jnp.dot(p.astype(x.dtype), v[ci * TK:(ci + 1) * TK, :],
-                     preferred_element_type=jnp.float32)
-        acc = acc * corr + pv
-        denom = denom * corr + jnp.sum(p, axis=-1, keepdims=True)
-        m_run = m_new
-    o_stacked = acc / denom                                # (M, C) fp32
-    # row block h's columns [h*D, (h+1)*D) hold head h's output — the same
-    # block-diagonal mask extracts them; summing over the head axis re-packs
-    # the (QB, C) concatenated-heads layout
-    attn = jnp.sum(jnp.where(bd_mask, o_stacked, 0.0)
-                   .reshape(heads, qb, c), axis=0)         # (QB, C)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        # exp via exp2: mathematically identical softmax (the scale folds into
+        # the subtraction); measured A/B via tools/bench_transformer_block.py
+        p = jnp.exp2((s - m) * 1.4426950408889634)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        vh = v[:, lo:lo + head_dim].astype(x.dtype)        # (T, D)
+        oh = jnp.dot(p.astype(x.dtype), vh,
+                     preferred_element_type=jnp.float32) / denom
+        outs.append(oh)
+    attn = jnp.concatenate(outs, axis=-1)                  # (QB, C) fp32
 
     attn = jnp.dot(attn.astype(x.dtype), wo_ref[:, :],
                    preferred_element_type=jnp.float32) + bo_ref[0, :]
@@ -164,12 +145,7 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
         return _reference_block(x, p, heads, head_dim)
 
     b, t, c = x.shape
-    # QB = stacked-rows budget per program split across heads; heads*QB rows
-    # feed the block-diagonal full-K dots. Both UNet levels give QB in
-    # {64, 128}, a power of two dividing TK, so one TK-multiple pad covers
-    # the q grid and the online-softmax chunking.
-    qb = max(8, M_ROWS // heads)
-    t_pad = ((t + TK - 1) // TK) * TK
+    t_pad = ((t + QB - 1) // QB) * QB
     scale = 1.0 / math.sqrt(head_dim)
 
     h1 = _layer_norm(x, p["ln1_scale"], p["ln1_bias"]).astype(x.dtype)
@@ -191,9 +167,9 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, t_pad, c), x.dtype),
-        grid=(b, t_pad // qb),
+        grid=(b, t_pad // QB),
         in_specs=[
-            pl.BlockSpec((1, qb, c), lambda bb, i: (bb, i, 0),
+            pl.BlockSpec((1, QB, c), lambda bb, i: (bb, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, t_pad), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -209,7 +185,7 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
             full((p["wo2"].shape[0], c)),      # wo2
             full((1, c)),                      # bo2
         ],
-        out_specs=pl.BlockSpec((1, qb, c), lambda bb, i: (bb, i, 0),
+        out_specs=pl.BlockSpec((1, QB, c), lambda bb, i: (bb, i, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t_pad * (t_pad * c * 2 + c * c * 2

@@ -55,6 +55,13 @@ def main():
         from run import parse_mesh
         mesh = parse_mesh(args.mesh)
 
+    if args.embedding == ["mfcc-stack"]:
+        print("note: FAD/KL below use the offline 'mfcc-stack' embedder — "
+              "values are NOT comparable to the reference's vggish/CLAP "
+              "tables (eval.py:56-66). Pass --embedding vggish w2v2-base ... "
+              "with DIFFMUSIC_TPU_CHECKPOINTS set for reference-comparable "
+              "numbers.")
+
     scores = {}
     first_model = None
     for name in args.embedding:  # per-model FAD loop (reference eval.py:56-73)

@@ -189,3 +189,56 @@ class TestConv1dFused:
             want = conv(h, params["params"][f"convs2_{i}"], 1) + res
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("k,d,t", [(3, 1, 700), (7, 3, 1024), (11, 5, 900)])
+    def test_pair_matches_two_convs(self, rng, k, d, t):
+        """Fused pair kernel == conv2(leaky(conv1(leaky(x))+b1))+b2+x."""
+        c = 128
+        x = jnp.asarray(rng.standard_normal((1, t, c)), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((k, c, c)) * 0.05, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((k, c, c)) * 0.05, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+        got = ck.conv1d_fused_pair(x, w1, b1, w2, b2, d, 0.1)
+        h = _conv1d_reference(x, w1, b1, d, 0.1, None)
+        want = _conv1d_reference(h, w2, b2, 1, 0.1, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_pair_gradient_matches_autodiff(self, rng):
+        t, c, k, d = 800, 128, 7, 3
+        x = jnp.asarray(rng.standard_normal((1, t, c)), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((k, c, c)) * 0.05, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((k, c, c)) * 0.05, jnp.float32)
+        b = jnp.zeros((c,))
+
+        def loss_pair(x_):
+            return jnp.sum(ck.conv1d_fused_pair(x_, w1, b, w2, b, d, 0.1) ** 2)
+
+        def loss_ref(x_):
+            h = _conv1d_reference(x_, w1, b, d, 0.1, None)
+            return jnp.sum(_conv1d_reference(h, w2, b, 1, 0.1, x_) ** 2)
+
+        np.testing.assert_allclose(np.asarray(jax.grad(loss_pair)(x)),
+                                   np.asarray(jax.grad(loss_ref)(x)),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_pair_ok_gating(self):
+        assert ck.pair_ok(3, 128, 128, jnp.bfloat16)
+        assert ck.pair_ok(7, 512, 512, jnp.bfloat16)
+        assert not ck.pair_ok(11, 512, 512, jnp.bfloat16)  # 11.5 MB weights
+        assert not ck.pair_ok(3, 64, 64, jnp.bfloat16)     # misaligned lanes
+
+    def test_residual_block_pair_routing_semantics(self, rng):
+        """ResidualBlock with pair routing (interpret) == plain XLA path."""
+        from diffmusic_tpu.models.hifigan import ResidualBlock
+        blk = ResidualBlock(channels=128, kernel_size=3, dilations=(1, 3, 5),
+                            slope=0.1)
+        x = jnp.asarray(rng.standard_normal((1, 300, 128)), jnp.float32)
+        params = blk.init(jax.random.key(0), x)
+        got = blk.apply(params, x)              # pair path (interpret mode)
+        ck._INTERPRET = False
+        want = blk.apply(params, x)             # per-conv XLA path
+        ck._INTERPRET = True
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
