@@ -106,6 +106,37 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+class _ConvTransposeParams(nn.Module):
+    """nn.ConvTranspose(transpose_kernel=True)'s param tree — kernel laid out
+    (k, Cout, Cin) (convert.py:25) — returned raw for the packed upsampler."""
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.kernel_size, self.features, cin))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+# Space-to-depth routing for the small-channel stages (ch64/ch32 at 80k/160k
+# samples: 2-4x MXU lane waste on the XLA convs in BOTH grad directions —
+# ops/packing.py). TPU-only by default; tests force it on CPU via this hook.
+_PACK_ON_CPU = False
+
+
+def _pack_ratio(ch: int, t: int) -> int:
+    """Packing factor for a stage of `ch` channels / `t` samples (1 = off)."""
+    from ..pallas.conv1d_kernel import _on_tpu
+    if not (_PACK_ON_CPU or _on_tpu()):
+        return 1
+    if ch >= 128 or 128 % ch or t % (128 // ch):
+        return 1
+    r = 128 // ch
+    return r if r <= 4 else 1
+
+
 class ResidualBlock(nn.Module):
     """HifiGanResidualBlock: (lrelu -> dilated conv -> lrelu -> conv) + skip, xN.
 
@@ -122,8 +153,20 @@ class ResidualBlock(nn.Module):
     slope: float
 
     @nn.compact
-    def __call__(self, x, signal_len: int | None = None):
+    def __call__(self, x, signal_len: int | None = None, packed_r: int = 1):
         from ..pallas.conv1d_kernel import conv1d_fused_pair, pair_ok
+        if packed_r > 1:
+            # x is pack_time(x, r): dense full-lane convs with packed kernels
+            from ..ops.packing import packed_conv1d
+            for i, d in enumerate(self.dilations):
+                w1, b1 = _ConvParams(self.channels, self.kernel_size,
+                                     name=f"convs1_{i}")(self.channels)
+                w2, b2 = _ConvParams(self.channels, self.kernel_size,
+                                     name=f"convs2_{i}")(self.channels)
+                h = packed_conv1d(x, w1, b1, d, packed_r, self.slope)
+                x = packed_conv1d(h, w2, b2, 1, packed_r, self.slope,
+                                  residual=x)
+            return x
         for i, d in enumerate(self.dilations):
             cin = x.shape[-1]
             if signal_len is None and pair_ok(self.kernel_size, cin,
@@ -164,24 +207,46 @@ class SpeechT5HifiGan(nn.Module):
                     name="conv_pre")(x)
 
         num_kernels = len(cfg.resblock_kernel_sizes)
+        packed_r = 1  # current space-to-depth factor of x (ops/packing.py)
         for i, (rate, k) in enumerate(zip(cfg.upsample_rates,
                                           cfg.upsample_kernel_sizes)):
-            x = _leaky(x, cfg.leaky_relu_slope)
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
-            # torch ConvTranspose1d(stride=rate, padding=P=(k-rate)//2) gives
-            # out = (in-1)*rate + k - 2P; flax explicit padding (lo, hi) gives
-            # out = (in-1)*rate + k - 2(k-1) + lo + hi, so lo = hi = k - 1 - P
-            pad = k - 1 - (k - rate) // 2
-            x = nn.ConvTranspose(
-                ch, (k,), strides=(rate,), padding=[(pad, pad)],
-                transpose_kernel=True, name=f"upsampler_{i}")(x)
+            cin = cfg.upsample_initial_channel // (2 ** i)
+            t_out = x.shape[1] * packed_r * rate
+            r_new = _pack_ratio(ch, t_out)
+            from ..ops.packing import (can_pack_transpose, packed_convtranspose,
+                                       pack_time, unpack_time)
+            if r_new > 1 and can_pack_transpose(k, rate, packed_r, r_new):
+                # upsample straight into the packed layout: a stride-2
+                # ConvTranspose into r=2-packed output is a dense full-lane
+                # stride-1 conv — no unpacked ch<128 tensor ever exists
+                w, b = _ConvTransposeParams(ch, k, name=f"upsampler_{i}")(cin)
+                x = packed_convtranspose(x, w.swapaxes(1, 2), b, rate,
+                                         packed_r, r_new,
+                                         slope=cfg.leaky_relu_slope)
+                packed_r = r_new
+            else:
+                if packed_r > 1:
+                    x = unpack_time(x, packed_r)
+                    packed_r = 1
+                x = _leaky(x, cfg.leaky_relu_slope)
+                # torch ConvTranspose1d(stride=rate, padding=P=(k-rate)//2):
+                # out = (in-1)*rate + k - 2P; flax explicit padding (lo, hi):
+                # out = (in-1)*rate + k - 2(k-1) + lo + hi, so lo = hi = k-1-P
+                pad = k - 1 - (k - rate) // 2
+                x = nn.ConvTranspose(
+                    ch, (k,), strides=(rate,), padding=[(pad, pad)],
+                    transpose_kernel=True, name=f"upsampler_{i}")(x)
+                if r_new > 1:
+                    x = pack_time(x, r_new)
+                    packed_r = r_new
 
             # canvas contract across the whole resblock stage: pad once, run
             # the 6*num_kernels fused convs + residual adds margin-carrying,
             # slice once (docs/PERF_NOTES.md round-2 roadmap item 1)
             from ..pallas.conv1d_kernel import (canvas_ok, from_canvas,
                                                 to_canvas)
-            use_canvas = canvas_ok(ch, ch)
+            use_canvas = packed_r == 1 and canvas_ok(ch, ch)
             t = x.shape[1]
             if use_canvas:
                 x = to_canvas(x)
@@ -190,11 +255,20 @@ class SpeechT5HifiGan(nn.Module):
                 out = ResidualBlock(ch, rk, cfg.resblock_dilation_sizes[j],
                                     cfg.leaky_relu_slope,
                                     name=f"resblocks_{i * num_kernels + j}")(
-                                        x, signal_len=t if use_canvas else None)
+                                        x, signal_len=t if use_canvas else None,
+                                        packed_r=packed_r)
                 res = out if res is None else res + out
             x = res / num_kernels
             if use_canvas:
                 x = from_canvas(x, t)
+
+        if packed_r > 1:
+            from ..ops.packing import packed_conv1d, unpack_time
+            w, b = _ConvParams(1, 7, name="conv_post")(x.shape[-1] // packed_r)
+            x = packed_conv1d(x, w, b, 1, packed_r,
+                              slope=cfg.leaky_relu_slope)
+            x = unpack_time(jnp.tanh(x), packed_r)
+            return x[..., 0]
 
         x = _leaky(x, cfg.leaky_relu_slope)
         x = nn.Conv(1, (7,), padding=[(3, 3)], name="conv_post")(x)
