@@ -32,7 +32,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-QB = 128  # 256 needs 24.45 MB VMEM (8.45 over limit) without a two-pass online softmax
+import os
+
+
+def _block_geometry(t_pad: int):
+    """(q_block, p_bf16) per sequence length, measured on v5e
+    (tools/bench_transformer_block.py, 100-iter scans):
+
+      level-0 (T=4000, C=128): QB=128/fp32-p 2.203 ms; QB=256+bf16-p 2.416;
+        QB=128+bf16-p 2.343 -> keep 128/fp32 (256 with fp32 scores needs
+        24.45 MB VMEM, 8.45 over the limit)
+      level-1 (T=1000, C=256): QB=256+bf16-p 0.566 vs 128/fp32 0.627 -> 256
+
+    Env overrides (A/B): DIFFMUSIC_TPU_QB, DIFFMUSIC_TPU_P_BF16."""
+    qb_env = os.environ.get("DIFFMUSIC_TPU_QB")
+    pb_env = os.environ.get("DIFFMUSIC_TPU_P_BF16")
+    qb = int(qb_env) if qb_env else (256 if t_pad <= 1024 else 128)
+    p_bf16 = (pb_env == "1") if pb_env is not None else (qb >= 256)
+    return qb, p_bf16
 
 # test hook: run in interpreter mode on CPU
 _INTERPRET = False
@@ -65,7 +82,8 @@ def _layer_norm(x, scale, bias, eps=1e-6):  # flax nn.LayerNorm default eps
 
 def _block_kernel(x_ref, kt_ref, v_ref, ln1_ref, wq_ref, wo_ref, bo_ref,
                   ln3_ref, wi_ref, bi_ref, wo2_ref, bo2_ref, out_ref, *,
-                  heads: int, head_dim: int, t_valid: int, scale: float):
+                  heads: int, head_dim: int, t_valid: int, scale: float,
+                  p_bf16: bool):
     x = x_ref[0]                                # (QB, C) input dtype
     kt = kt_ref[0]                              # (C, T_pad) input dtype
     v = v_ref[0, :, :]                          # (T_pad, C) value
@@ -73,6 +91,13 @@ def _block_kernel(x_ref, kt_ref, v_ref, ln1_ref, wq_ref, wo_ref, bo_ref,
     h1 = _layer_norm(x, ln1_ref[0, :], ln1_ref[1, :])     # (QB, C) fp32
     q = jnp.dot(h1.astype(x.dtype), wq_ref[:, :],
                 preferred_element_type=jnp.float32)        # (QB, C)
+
+    # additive key-padding mask, hoisted out of the head loop (the per-head
+    # iota+where recomputed it heads times over the full (QB, T) tile)
+    neg = None
+    if t_valid != v.shape[0]:
+        col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], v.shape[0]), 1)
+        neg = jnp.where(col < t_valid, 0.0, -1e30)
 
     outs = []
     for h in range(heads):
@@ -84,17 +109,26 @@ def _block_kernel(x_ref, kt_ref, v_ref, ln1_ref, wq_ref, wo_ref, bo_ref,
         kth = kt[lo:lo + head_dim, :]                      # (D, T) sublane slice
         s = jax.lax.dot_general(qh, kth, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        if t_valid != v.shape[0]:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < t_valid, s, -1e30)
+        if neg is not None:
+            s = s + neg
         m = jnp.max(s, axis=-1, keepdims=True)
         # exp via exp2: mathematically identical softmax (the scale folds into
         # the subtraction); measured A/B via tools/bench_transformer_block.py
         p = jnp.exp2((s - m) * 1.4426950408889634)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        vh = v[:, lo:lo + head_dim].astype(x.dtype)        # (T, D)
-        oh = jnp.dot(p.astype(x.dtype), vh,
-                     preferred_element_type=jnp.float32) / denom
+        if p_bf16:
+            # bf16 probability storage; the sum still accumulates fp32 and the
+            # PV dot consumes bf16 operands either way
+            p = p.astype(x.dtype)
+            denom = jnp.sum(p, axis=-1, keepdims=True,
+                            dtype=jnp.float32)
+            vh = v[:, lo:lo + head_dim].astype(x.dtype)    # (T, D)
+            oh = jnp.dot(p, vh,
+                         preferred_element_type=jnp.float32) / denom
+        else:
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            vh = v[:, lo:lo + head_dim].astype(x.dtype)    # (T, D)
+            oh = jnp.dot(p.astype(x.dtype), vh,
+                         preferred_element_type=jnp.float32) / denom
         outs.append(oh)
     attn = jnp.concatenate(outs, axis=-1)                  # (QB, C) fp32
 
@@ -145,7 +179,8 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
         return _reference_block(x, p, heads, head_dim)
 
     b, t, c = x.shape
-    t_pad = ((t + QB - 1) // QB) * QB
+    qb, p_bf16 = _block_geometry(((t + 127) // 128) * 128)
+    t_pad = ((t + qb - 1) // qb) * qb
     scale = 1.0 / math.sqrt(head_dim)
 
     h1 = _layer_norm(x, p["ln1_scale"], p["ln1_bias"]).astype(x.dtype)
@@ -161,15 +196,15 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
 
     stack2 = lambda s_, b_: jnp.stack([p[s_], p[b_]]).astype(x.dtype)
     kernel = functools.partial(_block_kernel, heads=heads, head_dim=head_dim,
-                               t_valid=t, scale=scale)
+                               t_valid=t, scale=scale, p_bf16=p_bf16)
     full = lambda shape: pl.BlockSpec(shape, lambda bb, i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, t_pad, c), x.dtype),
-        grid=(b, t_pad // QB),
+        grid=(b, t_pad // qb),
         in_specs=[
-            pl.BlockSpec((1, QB, c), lambda bb, i: (bb, i, 0),
+            pl.BlockSpec((1, qb, c), lambda bb, i: (bb, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, t_pad), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -185,7 +220,7 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
             full((p["wo2"].shape[0], c)),      # wo2
             full((1, c)),                      # bo2
         ],
-        out_specs=pl.BlockSpec((1, QB, c), lambda bb, i: (bb, i, 0),
+        out_specs=pl.BlockSpec((1, qb, c), lambda bb, i: (bb, i, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t_pad * (t_pad * c * 2 + c * c * 2

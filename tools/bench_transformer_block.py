@@ -19,12 +19,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 SHAPES = [  # (B, T, C, heads)
     (2, 4000, 128, 16),
     (2, 1000, 256, 32),
+    (2, 252, 384, 48),   # level-2: below the current fused-block gate (512)
 ]
 
 
-def main(iters: int = 100):
+def main(iters: int = 100, impl: str = "pallas"):
     sys.path.insert(0, ".")
-    from diffmusic_tpu.pallas.transformer_kernel import fused_transformer_block
+    from diffmusic_tpu.pallas import transformer_kernel as tk
+    if impl == "xla":
+        fused_transformer_block = lambda x, p, h, d: tk._reference_block(
+            x, p, h, d)
+    else:
+        fused_transformer_block = tk.fused_transformer_block
 
     for (b, t, c, heads) in SHAPES:
         head_dim = c // heads
@@ -67,4 +73,5 @@ def main(iters: int = 100):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 100)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 100,
+         sys.argv[2] if len(sys.argv) > 2 else "pallas")
