@@ -143,8 +143,12 @@ class W2V2Model(_HFFeatureLoader):
     def __init__(self, size: str = "base", layer: Optional[int] = None,
                  checkpoint_dir=None):
         dim = 768 if size == "base" else 1024
-        layer_tag = "" if layer is None else f"-layer{layer}"
-        super().__init__(f"w2v2-{size}{layer_tag}", dim, 16000,
+        # reference naming (fadtk/model_loader.py:532): the final layer (12
+        # for base, 24 for large) is the unsuffixed name; other layers get a
+        # plain -{layer} suffix
+        last = 12 if size == "base" else 24
+        tag = "" if layer in (None, last) else f"-{layer}"
+        super().__init__(f"w2v2-{size}{tag}", dim, 16000,
                          f"wav2vec2-{size}-960h", layer, checkpoint_dir)
 
 
@@ -152,8 +156,9 @@ class HuBERTModel(_HFFeatureLoader):
     def __init__(self, size: str = "base", layer: Optional[int] = None,
                  checkpoint_dir=None):
         dim = 768 if size == "base" else 1024
-        layer_tag = "" if layer is None else f"-layer{layer}"
-        super().__init__(f"hubert-{size}{layer_tag}", dim, 16000,
+        last = 12 if size == "base" else 24
+        tag = "" if layer in (None, last) else f"-{layer}"
+        super().__init__(f"hubert-{size}{tag}", dim, 16000,
                          f"hubert-{size}-ls960", layer, checkpoint_dir)
 
 
@@ -161,8 +166,9 @@ class WavLMModel(_HFFeatureLoader):
     def __init__(self, size: str = "base", layer: Optional[int] = None,
                  checkpoint_dir=None):
         dim = 768 if "base" in size else 1024
-        layer_tag = "" if layer is None else f"-layer{layer}"
-        super().__init__(f"wavlm-{size}{layer_tag}", dim, 16000,
+        last = 12 if "base" in size else 24
+        tag = "" if layer in (None, last) else f"-{layer}"
+        super().__init__(f"wavlm-{size}{tag}", dim, 16000,
                          f"wavlm-{size}", layer, checkpoint_dir)
 
 
@@ -432,13 +438,13 @@ def get_all_models(checkpoint_dir=None) -> List[ModelLoader]:
         EncodecEmbModel("24k", checkpoint_dir),
         EncodecEmbModel("48k", checkpoint_dir),
         *(MERTModel(layer, checkpoint_dir) for layer in range(1, 13)),
-        W2V2Model("base", None, checkpoint_dir),
-        W2V2Model("large", None, checkpoint_dir),
         *(W2V2Model("base", l, checkpoint_dir) for l in range(1, 13)),
-        HuBERTModel("base", None, checkpoint_dir),
-        HuBERTModel("large", None, checkpoint_dir),
-        WavLMModel("base", None, checkpoint_dir),
-        WavLMModel("base-plus", None, checkpoint_dir),
+        *(W2V2Model("large", l, checkpoint_dir) for l in range(1, 25)),
+        *(HuBERTModel("base", l, checkpoint_dir) for l in range(1, 13)),
+        *(HuBERTModel("large", l, checkpoint_dir) for l in range(1, 25)),
+        *(WavLMModel("base", l, checkpoint_dir) for l in range(1, 13)),
+        *(WavLMModel("base-plus", l, checkpoint_dir) for l in range(1, 13)),
+        *(WavLMModel("large", l, checkpoint_dir) for l in range(1, 25)),
         *(WhisperModel(s, checkpoint_dir)
           for s in ("tiny", "base", "small", "medium", "large")),
         DACModel(checkpoint_dir),
