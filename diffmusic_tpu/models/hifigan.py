@@ -126,6 +126,20 @@ class _ConvTransposeParams(nn.Module):
 _PACK_ON_CPU = False
 
 
+def _dense_ct_on() -> bool:
+    """Dense stride-packed ConvTranspose formulation for the unpacked
+    upsampler stages (ops/packing.py::dense_convtranspose). Measured SLOWER
+    than XLA's native transposed-conv lowering in the full vocoder fwd+bwd
+    (24.68 vs 23.84 ms/iter, tools/bench_vocoder_bwd.py — XLA does not pay
+    the naive interleaved-zero cost); default OFF, kept for A/B via
+    DIFFMUSIC_TPU_DENSE_CT=1."""
+    import os
+    if os.environ.get("DIFFMUSIC_TPU_DENSE_CT", "0") != "1":
+        return _PACK_ON_CPU  # CPU tests still exercise the path
+    from ..pallas.conv1d_kernel import _on_tpu
+    return _PACK_ON_CPU or _on_tpu()
+
+
 def _pack_ratio(ch: int, t: int) -> int:
     """Packing factor for a stage of `ch` channels / `t` samples (1 = off)."""
     from ..pallas.conv1d_kernel import _on_tpu
@@ -229,14 +243,25 @@ class SpeechT5HifiGan(nn.Module):
                 if packed_r > 1:
                     x = unpack_time(x, packed_r)
                     packed_r = 1
-                x = _leaky(x, cfg.leaky_relu_slope)
                 # torch ConvTranspose1d(stride=rate, padding=P=(k-rate)//2):
                 # out = (in-1)*rate + k - 2P; flax explicit padding (lo, hi):
                 # out = (in-1)*rate + k - 2(k-1) + lo + hi, so lo = hi = k-1-P
                 pad = k - 1 - (k - rate) // 2
-                x = nn.ConvTranspose(
-                    ch, (k,), strides=(rate,), padding=[(pad, pad)],
-                    transpose_kernel=True, name=f"upsampler_{i}")(x)
+                t_out = (x.shape[1] - 1) * rate + k - 2 * ((k - rate) // 2)
+                if _dense_ct_on():
+                    # stride-packed dense formulation: XLA's lhs-dilated
+                    # lowering wastes ~rate x MACs (ops/packing.py)
+                    from ..ops.packing import dense_convtranspose
+                    w, b = _ConvTransposeParams(ch, k,
+                                                name=f"upsampler_{i}")(cin)
+                    x = dense_convtranspose(x, w.swapaxes(1, 2), b, rate, k,
+                                            t_out,
+                                            slope=cfg.leaky_relu_slope)
+                else:
+                    x = _leaky(x, cfg.leaky_relu_slope)
+                    x = nn.ConvTranspose(
+                        ch, (k,), strides=(rate,), padding=[(pad, pad)],
+                        transpose_kernel=True, name=f"upsampler_{i}")(x)
                 if r_new > 1:
                     x = pack_time(x, r_new)
                     packed_r = r_new

@@ -32,6 +32,52 @@ def timestep_embedding(timesteps: jax.Array, dim: int,
     return emb
 
 
+# test hook: route Conv2DSame through the tap-GEMM form on CPU
+_CONV2D_MM_ON_CPU = False
+
+
+def _conv2d_mm_on() -> bool:
+    """Tap-GEMM routing for skinny-spatial 3x3 convs (ops/conv2d_mm.py).
+    Measured SLOWER at the VAE geometries (decode grad 17.07 vs 12.57
+    ms/iter, tools/bench_guidance_parts.py vae) — the 9 shifted slices do not
+    fuse into the operand loads and XLA's conv emitter wins despite its own
+    4x cost-estimate miss. Default OFF; DIFFMUSIC_TPU_CONV2D=mm to A/B."""
+    import os
+    if os.environ.get("DIFFMUSIC_TPU_CONV2D", "xla") != "mm":
+        return _CONV2D_MM_ON_CPU
+    if _CONV2D_MM_ON_CPU:
+        return True
+    from ..pallas.attention_kernel import _on_tpu
+    return _on_tpu()
+
+
+class Conv2DSame(nn.Module):
+    """nn.Conv(features, (k, k), padding=k//2) with a measured TPU routing:
+    the tap-GEMM form (ops/conv2d_mm.py) on skinny spatial geometries, XLA's
+    conv emitter otherwise. Param tree identical to nn.Conv — checkpoints and
+    the torch converter are unaffected."""
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # tap-GEMMs win when the conv emitter tiles poorly: narrow W with the
+        # MXU-relevant work in channels (the VAE/UNet latent geometries, W<=64)
+        if k > 1 and x.shape[2] <= 64 and _conv2d_mm_on():
+            from ..ops.conv2d_mm import conv2d_same_mm
+            return conv2d_same_mm(x, kernel, bias)
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        out = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=(1, 1),
+            padding=[(k // 2, k // 2)] * 2, dimension_numbers=dn)
+        return out + bias.astype(out.dtype)
+
+
 class TimestepEmbedding(nn.Module):
     """linear -> silu -> linear projection of the sinusoidal embedding."""
     dim: int
@@ -54,13 +100,13 @@ class ResnetBlock2D(nn.Module):
         in_channels = x.shape[-1]
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
+        h = Conv2DSame(self.out_channels, name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
+        h = Conv2DSame(self.out_channels, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), name="conv_shortcut")(x)
         return x + h
@@ -288,4 +334,4 @@ class Upsample2D(nn.Module):
         th, tw = out_hw if out_hw is not None else (h * 2, w * 2)
         x = _nearest_upsample(x, 1, th)
         x = _nearest_upsample(x, 2, tw)
-        return nn.Conv(self.out_channels, (3, 3), padding=1, name="conv")(x)
+        return Conv2DSame(self.out_channels, name="conv")(x)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from .configs import UNetConfig
 from .layers import (
-    Attention, BasicTransformerBlock, Downsample2D, ResnetBlock2D,
+    Attention, BasicTransformerBlock, Conv2DSame, Downsample2D, ResnetBlock2D,
     TimestepEmbedding, Transformer2DModel, Upsample2D, timestep_embedding,
 )
 
@@ -135,7 +135,7 @@ class UNet2DConditionModel(nn.Module):
         context_masks = (encoder_attention_mask, encoder_attention_mask_1)
 
         # --- down path ---
-        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, name="conv_in")(x)
+        x = Conv2DSame(cfg.block_out_channels[0], name="conv_in")(x)
         skips = [x]
         for i, ch in enumerate(cfg.block_out_channels):
             is_last = i == len(cfg.block_out_channels) - 1
@@ -160,5 +160,5 @@ class UNet2DConditionModel(nn.Module):
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
                          name="conv_norm_out")(x)
         x = nn.silu(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out")(x)
+        x = Conv2DSame(cfg.out_channels, name="conv_out")(x)
         return jnp.transpose(x, (0, 3, 1, 2))  # NHWC -> NCHW

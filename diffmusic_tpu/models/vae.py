@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from .configs import VAEConfig
-from .layers import Attention, Downsample2D, ResnetBlock2D, Upsample2D
+from .layers import (Attention, Conv2DSame, Downsample2D, ResnetBlock2D,
+                     Upsample2D)
 
 
 class VAEAttentionBlock(nn.Module):
@@ -61,7 +62,7 @@ class Decoder(nn.Module):
     def __call__(self, z):
         cfg = self.cfg
         z = nn.Conv(cfg.latent_channels, (1, 1), name="post_quant_conv")(z)
-        x = nn.Conv(cfg.block_out_channels[-1], (3, 3), padding=1, name="conv_in")(z)
+        x = Conv2DSame(cfg.block_out_channels[-1], name="conv_in")(z)
         ch = cfg.block_out_channels[-1]
         x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, name="mid_resnet_0")(x, None)
         x = VAEAttentionBlock(groups=cfg.norm_num_groups, name="mid_attn")(x)
@@ -75,7 +76,7 @@ class Decoder(nn.Module):
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                          name="conv_norm_out")(x)
         x = nn.silu(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out")(x)
+        x = Conv2DSame(cfg.out_channels, name="conv_out")(x)
         return x
 
 

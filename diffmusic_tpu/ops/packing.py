@@ -105,6 +105,75 @@ def can_pack_transpose(k: int, stride: int, r_in: int, r_out: int) -> bool:
             and (k - stride) % 2 == 0)
 
 
+def _native_convtranspose(x: jax.Array, w_math: jax.Array, stride: int,
+                          k: int) -> jax.Array:
+    """flax nn.ConvTranspose(strides=stride, torch padding, transpose_kernel)
+    as the raw lax op; w_math is the (k, Cin, Cout) math layout."""
+    pad = k - 1 - (k - stride) // 2
+    return jax.lax.conv_transpose(
+        x, jnp.swapaxes(w_math, 1, 2), (stride,), [(pad, pad)],
+        dimension_numbers=("NWC", "WIO", "NWC"), transpose_kernel=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _dense_ct_linear(x, w, b, stride: int, k: int, t_out: int):
+    """Linear ConvTranspose with a MEASURED hybrid routing (device trace,
+    docs/PERF_NOTES.md): forward = the stride-packed dense conv (XLA lowers
+    the native lhs-dilated forward ~rate x over its useful FLOPs — 1.88
+    ms/step across the three unpacked HiFi-GAN upsamplers), backward = the
+    transpose of the NATIVE formulation (a plain strided conv, 0.42 ms/step —
+    the dense formulation's autodiffed adjoint is what lost the round-2
+    dense-CT A/B). Weight/bias cotangents are symbolic zeros (frozen-weight
+    inference framework, same contract as pallas/conv1d_kernel.py)."""
+    rows = -(-t_out // stride)
+    if rows > x.shape[1]:
+        x = jnp.pad(x, ((0, 0), (0, rows - x.shape[1]), (0, 0)))
+    y = packed_convtranspose(x, w, b, stride, 1, stride)
+    y = unpack_time(y, stride)
+    return y[:, :t_out] if y.shape[1] != t_out else y
+
+
+def _dense_ct_fwd(x, w, b, stride, k, t_out):
+    # x is saved only for its shape/dtype (the function is linear — the
+    # transpose needs no primal values); XLA DCEs the unused buffer
+    return _dense_ct_linear(x, w, b, stride, k, t_out), (x, w)
+
+
+def _dense_ct_bwd(stride, k, t_out, res, g):
+    x, w = res
+    x_shape, x_dtype = x.shape, x.dtype
+    # run the adjoint conv in the WEIGHT dtype (bf16 in production; fp32
+    # matmuls run at a fraction of the MXU's bf16 rate) — same convention as
+    # pallas/conv1d_kernel.py::_conv1d_bwd
+    g16 = g.astype(w.dtype)
+    f = lambda x_: _native_convtranspose(x_.astype(w.dtype), w, stride, k)
+    (dx,) = jax.linear_transpose(
+        f, jax.ShapeDtypeStruct(x_shape, w.dtype))(g16)
+    return dx.astype(x_dtype), jnp.zeros_like(w), \
+        jnp.zeros((w.shape[2],), x_dtype)
+
+
+_dense_ct_linear.defvjp(_dense_ct_fwd, _dense_ct_bwd)
+
+
+def dense_convtranspose(x: jax.Array, w: jax.Array, b: jax.Array,
+                        stride: int, k: int, t_out: int,
+                        slope=None) -> jax.Array:
+    """ConvTranspose1d(stride, torch padding (k-stride)//2) as ONE dense
+    stride-1 conv producing stride-packed output rows, then a free reshape.
+
+    XLA lowers lax.conv_transpose/lhs-dilated convs with interleaved zeros —
+    ~stride x wasted MACs on the MXU (models/hifigan.py upsamplers: 5x on the
+    first stage). The packed-output formulation does exactly the useful FLOPs.
+    Handles ragged torch geometry (odd k-stride gives t_out = T*stride + 1,
+    e.g. the 1000 -> 5001 first MusicLDM stage) by padding one input row and
+    slicing. x: (B, T, Cin); w: math layout (k, Cin, Cout); returns
+    (B, t_out, Cout)."""
+    if slope is not None:
+        x = jnp.where(x >= 0, x, slope * x)
+    return _dense_ct_linear(x, w, b, stride, k, t_out)
+
+
 @functools.lru_cache(maxsize=None)
 def _convtranspose_packing_map(k: int, stride: int, r_in: int, r_out: int,
                                c_ratio: int):

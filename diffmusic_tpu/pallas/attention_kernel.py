@@ -17,6 +17,7 @@ path, trading peak-memory for correctness on those cold paths.
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -118,10 +119,47 @@ def _flash_fwd(q, k, v):
     return flash_attention(q, k, v), (q, k, v)
 
 
+def _bwd_attention_bf16(q, k, v, g, scale):
+    """Manual attention VJP with input-dtype (bf16) matmul operands and fp32
+    accumulation/softmax — the fp32-einsum recompute materialized the (T, T)
+    logits in fp32 at half the MXU rate. On the guidance path this runs every
+    step: the VAE decoder's mid attention (T=4000, D=512) is differentiated
+    through (reference scheduling_dps.py:195-197)."""
+    f32 = jnp.float32
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=f32) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / denom).astype(q.dtype)                       # (B, H, Tq, Tk)
+    # dv = p^T g ; dp = g v^T
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g, preferred_element_type=f32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g, v, preferred_element_type=f32)
+    o_dot_g = jnp.sum(
+        jnp.einsum("bhqk,bkhd->bqhd", p, v, preferred_element_type=f32) * g,
+        axis=-1)                                          # (B, Tq, H)
+    ds = (p.astype(f32) * (dp - jnp.swapaxes(o_dot_g, 1, 2)[..., None])
+          * scale).astype(q.dtype)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k, preferred_element_type=f32)
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q, preferred_element_type=f32)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+# backward recompute path: "bf16" (manual VJP, input-dtype operands) or
+# "f32" (jax.vjp through the fp32 reference einsums). Measured NEUTRAL in the
+# VAE decode grad (12.69 vs 12.58 ms/iter, tools/bench_guidance_parts.py vae)
+# — the fp32 (T, T) materialization is only ~64 MB of the program's traffic —
+# so the numerically-stronger f32 recompute stays the default.
+_BWD_IMPL = os.environ.get("DIFFMUSIC_TPU_FLASH_BWD", "f32")
+
+
 def _flash_bwd(res, g):
-    """Cold-path backward (optim_prompt/DITTO): XLA recompute of the logits."""
+    """Backward via recompute. Guidance differentiates this on the VAE path
+    every step; optim_prompt/DITTO also differentiate the UNet instances."""
     q, k, v = res
     scale = 1.0 / math.sqrt(q.shape[-1])
+    if _BWD_IMPL == "bf16":
+        return _bwd_attention_bf16(q, k, v, g.astype(q.dtype), scale)
     _, vjp = jax.vjp(lambda q_, k_, v_: _reference_attention(q_, k_, v_, scale),
                      q, k, v)
     return vjp(g.astype(q.dtype))

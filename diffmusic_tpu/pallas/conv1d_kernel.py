@@ -173,7 +173,7 @@ def _conv1d_vjp(x, w, b, residual, w_adj, dilation: int, slope,
     # Mosaic DMA slices need 128-aligned lane dims: small-channel convs (the
     # last HiFi-GAN stages, ~10% of FLOPs) stay on the XLA path
     aligned = x.shape[-1] % 128 == 0 and w.shape[-1] % 128 == 0
-    if not _INTERPRET and (not _on_tpu() or not aligned):
+    if _force_xla() or (not _INTERPRET and (not _on_tpu() or not aligned)):
         return _conv1d_reference(x, w, b, dilation, slope,
                                  residual if has_residual else None)
     return _conv1d_pallas(x, w, b, dilation, slope,
@@ -239,6 +239,14 @@ def _conv1d_bwd(dilation, slope, has_residual, res, g):
 def _on_tpu() -> bool:
     from .attention_kernel import _on_tpu as f
     return f()
+
+
+def _force_xla() -> bool:
+    """DIFFMUSIC_TPU_CONV1D=xla routes every fused conv to the plain XLA
+    composition (A/B hook: measures the pallas custom-call penalty inside the
+    full guidance backward at the current geometry)."""
+    import os
+    return os.environ.get("DIFFMUSIC_TPU_CONV1D", "") == "xla"
 
 
 _conv1d_vjp.defvjp(_conv1d_fwd, _conv1d_bwd)
@@ -622,7 +630,7 @@ def pair_ok(k: int, cin: int, cout: int, dtype) -> bool:
     C=512 stage-0 resblock at 11.5 MB of weights is over budget)."""
     itemsize = jnp.dtype(dtype).itemsize
     weights_mb = 2 * k * cin * cout * itemsize / 2 ** 20
-    return (_INTERPRET or _on_tpu()) and cin % 128 == 0 \
+    return not _force_xla() and (_INTERPRET or _on_tpu()) and cin % 128 == 0 \
         and cout % 128 == 0 and weights_mb <= 9.0
 
 

@@ -157,3 +157,59 @@ class TestVocoderPackedRouting:
             hifigan._PACK_ON_CPU = False
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestDenseConvTranspose:
+    """Dense stride-packed ConvTranspose formulation for the unpacked
+    upsampler stages (ops/packing.py::dense_convtranspose), including the
+    ragged MusicLDM first stage (rate 5, k 16: T -> 5T+1)."""
+
+    def test_matches_flax_convtranspose(self, rng):
+        import flax.linen as nn
+        from diffmusic_tpu.ops.packing import dense_convtranspose
+        for (t, cin, cout, rate, k) in [(50, 16, 8, 5, 16), (51, 12, 6, 4, 16),
+                                        (40, 8, 8, 2, 8), (33, 8, 4, 2, 4)]:
+            x = jnp.asarray(rng.standard_normal((2, t, cin)), jnp.float32)
+            pad = k - 1 - (k - rate) // 2
+            m = nn.ConvTranspose(cout, (k,), strides=(rate,),
+                                 padding=[(pad, pad)], transpose_kernel=True)
+            want, vs = m.init_with_output(jax.random.key(1), x)
+            w, b = vs["params"]["kernel"], vs["params"]["bias"]
+            t_out = (t - 1) * rate + k - 2 * ((k - rate) // 2)
+            got = dense_convtranspose(x, jnp.swapaxes(w, 1, 2), b, rate, k,
+                                      t_out)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_vocoder_ragged_stage_fwd_and_grad(self, rng):
+        """Full vocoder with a rate-5/k-16 ch128 stage: dense-CT routing
+        (_PACK_ON_CPU) must match the nn.ConvTranspose path in value and
+        input-gradient."""
+        from diffmusic_tpu.models import hifigan
+        from diffmusic_tpu.models.configs import HiFiGANConfig
+        cfg = HiFiGANConfig(model_in_dim=8, upsample_initial_channel=256,
+                            upsample_rates=(5, 4),
+                            upsample_kernel_sizes=(16, 16),
+                            resblock_kernel_sizes=(3,),
+                            resblock_dilation_sizes=((1, 3),))
+        voc = hifigan.SpeechT5HifiGan(cfg)
+        x = jnp.asarray(rng.standard_normal((1, 10, 8)), jnp.float32)
+        params = voc.init(jax.random.key(0), x)
+        want = voc.apply(params, x)
+
+        def loss(x_):
+            return jnp.sum(voc.apply(params, x_).astype(jnp.float32) ** 2)
+
+        want_g = jax.grad(loss)(x)
+        hifigan._PACK_ON_CPU = True
+        try:
+            got = voc.apply(params, x)
+            got_g = jax.grad(loss)(x)
+        finally:
+            hifigan._PACK_ON_CPU = False
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                                   rtol=1e-3, atol=1e-3)
