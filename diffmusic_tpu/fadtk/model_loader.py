@@ -113,16 +113,25 @@ class _HFFeatureLoader(_LocalCheckpointLoader):
     MERT family — reference fadtk/model_loader.py:524-632)."""
 
     def __init__(self, name, num_features, sr, subdir, layer=None,
-                 checkpoint_dir=None):
+                 checkpoint_dir=None, final_layer=False):
         super().__init__(name, num_features, sr, checkpoint_dir)
         self.subdir = subdir
         self.layer = layer
+        # the unsuffixed variant means "the final encoder layer" (reference
+        # fadtk names w2v2-base = layer 12 of the 12-layer model); resolve the
+        # index against the LOADED checkpoint's depth so local checkpoints of
+        # any depth (e.g. tiny test models) keep that semantics
+        self.final_layer = final_layer
 
     def load_model(self):
         import torch
         from transformers import AutoModel
         path = self._resolve()
         self.model = AutoModel.from_pretrained(str(path)).eval()
+        if self.final_layer:
+            depth = getattr(self.model.config, "num_hidden_layers", None)
+            if depth is not None:
+                self.layer = depth
         self.torch = torch
 
     def _get_embedding(self, audio):
@@ -149,7 +158,8 @@ class W2V2Model(_HFFeatureLoader):
         last = 12 if size == "base" else 24
         tag = "" if layer in (None, last) else f"-{layer}"
         super().__init__(f"w2v2-{size}{tag}", dim, 16000,
-                         f"wav2vec2-{size}-960h", layer, checkpoint_dir)
+                         f"wav2vec2-{size}-960h", layer, checkpoint_dir,
+                         final_layer=layer in (None, last))
 
 
 class HuBERTModel(_HFFeatureLoader):
@@ -159,7 +169,8 @@ class HuBERTModel(_HFFeatureLoader):
         last = 12 if size == "base" else 24
         tag = "" if layer in (None, last) else f"-{layer}"
         super().__init__(f"hubert-{size}{tag}", dim, 16000,
-                         f"hubert-{size}-ls960", layer, checkpoint_dir)
+                         f"hubert-{size}-ls960", layer, checkpoint_dir,
+                         final_layer=layer in (None, last))
 
 
 class WavLMModel(_HFFeatureLoader):
@@ -169,7 +180,8 @@ class WavLMModel(_HFFeatureLoader):
         last = 12 if "base" in size else 24
         tag = "" if layer in (None, last) else f"-{layer}"
         super().__init__(f"wavlm-{size}{tag}", dim, 16000,
-                         f"wavlm-{size}", layer, checkpoint_dir)
+                         f"wavlm-{size}", layer, checkpoint_dir,
+                         final_layer=layer in (None, last))
 
 
 class MERTModel(_HFFeatureLoader):
@@ -177,7 +189,7 @@ class MERTModel(_HFFeatureLoader):
 
     def __init__(self, layer: int = 12, checkpoint_dir=None):
         super().__init__(f"MERT-v1-95M-{layer}" if layer != 12 else "MERT-v1-95M",
-                         768, 24000, "MERT-v1-95M", layer, checkpoint_dir)
+                         768, 24000, "MERT-v1-95M", layer, checkpoint_dir, final_layer=layer == 12)
 
 
 class WhisperModel(_LocalCheckpointLoader):
