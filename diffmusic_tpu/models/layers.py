@@ -51,11 +51,28 @@ def _conv2d_mm_on() -> bool:
     return _on_tpu()
 
 
+def _conv2d_pallas_on() -> bool:
+    """Flattened-rows pallas conv2d (pallas/conv2d_kernel.py) for the
+    skinny-W VAE/UNet geometries where XLA's conv emitter runs up to 4x its
+    own cost estimate (docs/PERF_NOTES.md round-2 trace). Measured SLOWER in
+    the differentiated VAE decode (13.87 ms/iter pallas-fwd+XLA-adjoint,
+    14.31 all-pallas, vs 12.57 all-XLA — tools/bench_guidance_parts.py vae):
+    the same pallas-boundary penalty inside the large backward program that
+    killed the conv1d adjoints. Default OFF; DIFFMUSIC_TPU_CONV2D=pallas
+    to A/B."""
+    import os
+    if os.environ.get("DIFFMUSIC_TPU_CONV2D", "xla") != "pallas":
+        return False
+    from ..pallas.attention_kernel import _on_tpu
+    return _on_tpu()
+
+
 class Conv2DSame(nn.Module):
     """nn.Conv(features, (k, k), padding=k//2) with a measured TPU routing:
-    the tap-GEMM form (ops/conv2d_mm.py) on skinny spatial geometries, XLA's
-    conv emitter otherwise. Param tree identical to nn.Conv — checkpoints and
-    the torch converter are unaffected."""
+    XLA's conv emitter by default (both alternative formulations — tap-GEMM
+    and flattened-rows pallas — measured slower in the differentiated VAE
+    decode; see the gates above). Param tree identical to nn.Conv —
+    checkpoints and the torch converter are unaffected."""
     features: int
     kernel_size: int = 3
 
@@ -65,6 +82,10 @@ class Conv2DSame(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (k, k, x.shape[-1], self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if k > 1 and x.shape[2] <= 64 and _conv2d_pallas_on():
+            from ..pallas.conv2d_kernel import _eligible, conv2d_same_fused
+            if _eligible(x, kernel):
+                return conv2d_same_fused(x, kernel.astype(x.dtype), bias)
         # tap-GEMMs win when the conv emitter tiles poorly: narrow W with the
         # MXU-relevant work in channels (the VAE/UNet latent geometries, W<=64)
         if k > 1 and x.shape[2] <= 64 and _conv2d_mm_on():
