@@ -229,7 +229,14 @@ def _conv1d_bwd(dilation, slope, has_residual, res, g):
         w_adj_local = jnp.flip(w, axis=0).swapaxes(1, 2)  # (k, Cout, Cin)
         dx = _conv1d_reference(g16, w_adj_local, zero_b, dilation, None, None)
     if slope is not None:
-        dx = jnp.where(x >= 0, dx, slope * dx)
+        # leaky-relu gradient mask: pallas elementwise kernel when eligible
+        # (XLA's standalone broadcast_multiply fusions run at 200-550 GB/s on
+        # the vocoder shapes — docs/PERF_NOTES.md round-2 trace)
+        from .mask_kernel import leaky_mask, mask_ok
+        if mask_ok(x) and (_INTERPRET or _on_tpu()):
+            dx = leaky_mask(x, dx, slope)
+        else:
+            dx = jnp.where(x >= 0, dx, slope * dx)
     dres = g if has_residual else None
     dw_adj = None if w_adj is None else jnp.zeros_like(w_adj)
     return (dx.astype(x.dtype), jnp.zeros_like(w),
@@ -659,13 +666,24 @@ def _pair_bwd(dilation, slope, res, g):
     zero_b = jnp.zeros((w1.shape[1],), w1.dtype)
     # adjoint of 'same' odd-k conv = same conv with flipped-transposed kernel
     # (XLA path — the measured-best backward, see _conv1d_bwd)
+    from .mask_kernel import leaky_mask, leaky_mask_add, mask_ok
+    use_pallas_mask = mask_ok(x) and (_INTERPRET or _on_tpu())
     w2_adj = jnp.flip(w2, axis=0).swapaxes(1, 2)
     dhs = _conv1d_reference(g16, w2_adj, zero_b, 1, None, None)
-    dh = jnp.where(h >= 0, dhs, slope * dhs)
+    # leaky-relu gradient masks: pallas elementwise kernels when eligible
+    # (XLA's standalone broadcast_multiply fusions run at 200-550 GB/s on
+    # the vocoder shapes — docs/PERF_NOTES.md round-2 trace)
+    if use_pallas_mask:
+        dh = leaky_mask(h, dhs, slope)
+    else:
+        dh = jnp.where(h >= 0, dhs, slope * dhs)
     w1_adj = jnp.flip(w1, axis=0).swapaxes(1, 2)
     dxs = _conv1d_reference(dh.astype(w1.dtype), w1_adj, zero_b, dilation,
                             None, None)
-    dx = jnp.where(x >= 0, dxs, slope * dxs) + g
+    if use_pallas_mask:
+        dx = leaky_mask_add(x, dxs, g, slope)
+    else:
+        dx = jnp.where(x >= 0, dxs, slope * dxs) + g
     return (dx.astype(x.dtype), jnp.zeros_like(w1),
             jnp.zeros((w1.shape[2],), x.dtype), jnp.zeros_like(w2),
             jnp.zeros((w2.shape[2],), x.dtype))

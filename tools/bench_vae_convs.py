@@ -7,7 +7,9 @@ decoder conv geometry in a scanned loop — forward, and forward+input-adjoint
 (the guidance gradient differentiates activations only) — to quantify the
 headroom a Pallas conv2d forward could claim.
 
-Usage: python tools/bench_vae_convs.py [iters]
+Usage: python tools/bench_vae_convs.py [iters] [variant]
+variant: xla (conv2d emitter, default) | rows (ops/conv2d_rows.py — kw
+dilated conv1ds over flattened rows, pure XLA, no custom-call boundary)
 """
 
 import sys
@@ -58,6 +60,15 @@ def timed_scan(fn, x, rest, iters):
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    variant = sys.argv[2] if len(sys.argv) > 2 else "xla"
+    global conv
+    if variant == "rows":
+        import os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from diffmusic_tpu.ops.conv2d_rows import conv2d_same_rows
+        conv = lambda x, w: conv2d_same_rows(x, w)
+    print(f"variant: {variant}")
     key = jax.random.key(0)
     print(f"{'geometry':>28} {'GF':>6} {'floor':>6} {'fwd ms':>7} {'util':>5} "
           f"{'f+b ms':>7} {'util':>5}")
