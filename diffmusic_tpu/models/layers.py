@@ -67,6 +67,18 @@ def _conv2d_pallas_on() -> bool:
     return _on_tpu()
 
 
+def _conv2d_rows_on() -> bool:
+    """Pure-XLA rows decomposition (ops/conv2d_rows.py) for W<=16: kw dilated
+    conv1ds over flattened rows. No custom-call boundary, so unlike the
+    pallas/tap-GEMM variants it composes with XLA's backward scheduling.
+    Default per measurement (see Conv2DSame docstring)."""
+    import os
+    if os.environ.get("DIFFMUSIC_TPU_CONV2D", "xla") != "rows":
+        return False
+    from ..pallas.attention_kernel import _on_tpu
+    return _on_tpu()
+
+
 class Conv2DSame(nn.Module):
     """nn.Conv(features, (k, k), padding=k//2) with a measured TPU routing:
     XLA's conv emitter by default (both alternative formulations — tap-GEMM
@@ -86,6 +98,13 @@ class Conv2DSame(nn.Module):
             from ..pallas.conv2d_kernel import _eligible, conv2d_same_fused
             if _eligible(x, kernel):
                 return conv2d_same_fused(x, kernel.astype(x.dtype), bias)
+        # rows decomposition: only the W<=16 geometries beat the conv2d
+        # emitter standalone (0.650/0.827 vs 0.709/0.863 ms fwd/f+b at
+        # (250,16,512,512); W>=32 loses — docs/PERF_NOTES.md 'rows-decomposed
+        # conv2d'). DIFFMUSIC_TPU_CONV2D=rows to A/B in-program.
+        if k > 1 and x.shape[2] <= 16 and _conv2d_rows_on():
+            from ..ops.conv2d_rows import conv2d_same_rows
+            return conv2d_same_rows(x, kernel.astype(x.dtype), bias)
         # tap-GEMMs win when the conv emitter tiles poorly: narrow W with the
         # MXU-relevant work in channels (the VAE/UNet latent geometries, W<=64)
         if k > 1 and x.shape[2] <= 64 and _conv2d_mm_on():
