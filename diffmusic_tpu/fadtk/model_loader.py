@@ -284,22 +284,37 @@ class CLAPLaionModel(_LocalCheckpointLoader):
 
 
 class VGGishModel(_LocalCheckpointLoader):
-    """VGGish (reference diffmusic/metrics/fad.py:59 pulls it from torch.hub;
-    here: local torchvggish checkpoint)."""
+    """VGGish (reference diffmusic/metrics/fad.py:59 pulls it from torch.hub).
+
+    Preferred path: the NATIVE implementation (metrics/vggish.py — flax
+    network + AudioSet preprocessing + PCA postprocessor) loading a plain
+    torchvggish state dict (`vggish.pth` or `vggish.npz`) from the checkpoint
+    dir. Falls back to a local torch.hub checkout of harritaylor/torchvggish
+    when only that layout is present."""
 
     def __init__(self, checkpoint_dir=None):
         super().__init__("vggish", 128, 16000, checkpoint_dir)
         self.subdir = "vggish"
 
     def load_model(self):
-        import torch
         path = self._resolve()
+        for fname in ("vggish.pth", "vggish.npz", "weights.pth"):
+            if (path / fname).exists():
+                from ..metrics.vggish import load_vggish
+                self._apply, self._pca = load_vggish(path / fname)
+                self.model = "native"
+                return
+        import torch
         self.model = torch.hub.load(str(path), "vggish", source="local",
                                     pretrained=True)
         self.model.eval()
         self.torch = torch
 
     def _get_embedding(self, audio):
+        if self.model == "native":
+            from ..metrics.vggish import vggish_embedding
+            return vggish_embedding(self._apply, self._pca,
+                                    np.asarray(audio, np.float32))
         with self.torch.no_grad():
             emb = self.model.forward(np.asarray(audio, np.float64), self.sr)
         return emb.cpu().numpy()

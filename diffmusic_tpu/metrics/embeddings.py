@@ -88,10 +88,30 @@ class MFCCStackEmbedding:
 
 
 def get_embedding_model(name: str = "mfcc-stack", checkpoint_dir=None):
-    """Pluggable registry. 'mfcc-stack' is the egress-free default; 'vggish' /
-    'clap-*' require local checkpoints converted with models/convert.py."""
+    """Pluggable registry. 'mfcc-stack' is the egress-free default; 'vggish'
+    (the reference's FAD/KL embedder, metrics/fad.py:59) runs natively from a
+    local torchvggish state dict; other zoo names route through
+    fadtk.get_model and their checkpoint gates."""
     if name == "mfcc-stack":
         return MFCCStackEmbedding()
-    raise ValueError(
-        f"Embedding model '{name}' requires local checkpoints (no hub egress); "
-        f"available offline: 'mfcc-stack'")
+    if name == "vggish":
+        from ..fadtk.model_loader import VGGishModel
+        m = VGGishModel(checkpoint_dir=checkpoint_dir)
+        m.load_model()
+
+        def embed(wav: np.ndarray) -> np.ndarray:
+            return m.get_embedding(np.asarray(wav, np.float32).reshape(-1))
+
+        embed.name = "vggish"
+        embed.dim = m.num_features
+        return embed
+    from ..fadtk.model_loader import get_model
+    m = get_model(name, checkpoint_dir=checkpoint_dir)
+    m.load_model()
+
+    def embed(wav: np.ndarray) -> np.ndarray:
+        return m.get_embedding(np.asarray(wav, np.float32).reshape(-1))
+
+    embed.name = name
+    embed.dim = m.num_features
+    return embed
