@@ -181,11 +181,16 @@ def main(compute_dtype=jnp.bfloat16):
     final.block_until_ready()
     compile_and_first_run_s = time.time() - t0
 
-    # timed run
-    t0 = time.time()
-    final, losses = sample(params, target_mel, latents, jax.random.key(2))
-    final.block_until_ready()
-    wall = time.time() - t0
+    # timed runs: median of 3 (single runs through the remote tunnel carry
+    # dispatch/round-trip jitter; the median is the honest steady-state)
+    walls = []
+    for i in range(3):
+        t0 = time.time()
+        final, losses = sample(params, target_mel, latents,
+                               jax.random.key(2 + i))
+        final.block_until_ready()
+        walls.append(time.time() - t0)
+    wall = sorted(walls)[1]
 
     losses = np.asarray(losses)
     assert np.isfinite(losses).all(), "NaN loss in benchmark run"
@@ -217,6 +222,7 @@ def main(compute_dtype=jnp.bfloat16):
         "detail": {
             "device": str(jax.devices()[0]),
             "compile_and_first_run_s": round(compile_and_first_run_s, 1),
+            "timed_runs_s": [round(w, 3) for w in walls],
             "seconds_of_audio_per_sec_per_chip": round(AUDIO_S / wall, 3),
             "loss_curve_every_20_steps": curve,
             "loss_first": round(float(losses[0]), 2),

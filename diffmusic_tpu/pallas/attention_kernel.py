@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-Q_BLOCK = 256
+Q_BLOCK = int(os.environ.get("DIFFMUSIC_TPU_FLASH_QB", "256"))
 
 # test hook: run the Pallas kernel in interpreter mode on CPU
 _INTERPRET = False

@@ -57,8 +57,12 @@ class TestEmbedding:
 
     def test_registry(self):
         assert get_embedding_model("mfcc-stack").name == "mfcc-stack"
-        with pytest.raises(ValueError):
+        # vggish now routes to the native implementation (metrics/vggish.py),
+        # which is checkpoint-gated in this zero-egress environment
+        with pytest.raises(FileNotFoundError):
             get_embedding_model("vggish")
+        with pytest.raises(ValueError):
+            get_embedding_model("no-such-embedder")
 
 
 class TestFADPipeline:

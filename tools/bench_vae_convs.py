@@ -9,7 +9,10 @@ headroom a Pallas conv2d forward could claim.
 
 Usage: python tools/bench_vae_convs.py [iters] [variant]
 variant: xla (conv2d emitter, default) | rows (ops/conv2d_rows.py — kw
-dilated conv1ds over flattened rows, pure XLA, no custom-call boundary)
+dilated conv1ds over flattened rows, pure XLA, no custom-call boundary) |
+swap (H<->W transposed orientation: a 3x3 'same' conv commutes with the
+spatial transpose, so if the emitter tiles (16, 250) better than (250, 16)
+the whole decoder could run transposed with one transpose at each end)
 """
 
 import sys
@@ -69,6 +72,9 @@ def main():
         from diffmusic_tpu.ops.conv2d_rows import conv2d_same_rows
         conv = lambda x, w: conv2d_same_rows(x, w)
     print(f"variant: {variant}")
+    global GEOMETRIES
+    if variant == "swap":
+        GEOMETRIES = [(w_, h, ci, co, n) for (h, w_, ci, co, n) in GEOMETRIES]
     key = jax.random.key(0)
     print(f"{'geometry':>28} {'GF':>6} {'floor':>6} {'fwd ms':>7} {'util':>5} "
           f"{'f+b ms':>7} {'util':>5}")
