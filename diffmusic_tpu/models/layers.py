@@ -7,6 +7,7 @@ TPU: channels-last (NHWC) layout throughout, bf16-friendly matmuls with fp32
 accumulation, and no data-dependent control flow so everything scans/jits.
 """
 
+import contextlib
 from typing import Optional, Sequence
 
 import flax.linen as nn
@@ -79,6 +80,40 @@ def _conv2d_rows_on() -> bool:
     return _on_tpu()
 
 
+# --- spatially swapped (H<->W) orientation ---------------------------------
+# The VAE decoder's conv geometries are skinny-W (e.g. (250, 16, 512)); XLA's
+# conv emitter measures up to 4x its own cost estimate there, and EVERY decoder
+# geometry runs as fast or faster transposed (tools/bench_vae_convs.py swap:
+# weighted fwd+input-adjoint 18.50 vs 20.41 ms standalone). A 3x3 'same' conv
+# commutes with the spatial transpose when the kernel's (kh, kw) axes are
+# swapped too, so AutoencoderKL.decode runs the whole decoder on (B, W, H, C)
+# tensors — the entry/exit NCHW transposes just use a different permutation
+# (no extra copies) — and Conv2DSame swaps its kernel axes (scan-invariant;
+# XLA licm hoists the swap out of the denoise loop). GroupNorm, SiLU, nearest
+# upsampling, and the mid self-attention (token-permutation-equivariant) are
+# all orientation-agnostic. Gate: DIFFMUSIC_TPU_VAE_SWAP (default on; =0 to
+# A/B), scoped to the decoder via spatial_swap().
+_SPATIAL_SWAPPED = False
+
+
+def vae_swap_on() -> bool:
+    import os
+    return os.environ.get("DIFFMUSIC_TPU_VAE_SWAP", "1") != "0"
+
+
+@contextlib.contextmanager
+def spatial_swap(enabled: bool = True):
+    """Trace-time context: Conv2DSame instances traced inside swap their
+    kernel (kh, kw) axes to match spatially transposed activations."""
+    global _SPATIAL_SWAPPED
+    prev = _SPATIAL_SWAPPED
+    _SPATIAL_SWAPPED = enabled
+    try:
+        yield
+    finally:
+        _SPATIAL_SWAPPED = prev
+
+
 class Conv2DSame(nn.Module):
     """nn.Conv(features, (k, k), padding=k//2) with a measured TPU routing:
     XLA's conv emitter by default (both alternative formulations — tap-GEMM
@@ -94,6 +129,8 @@ class Conv2DSame(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (k, k, x.shape[-1], self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if _SPATIAL_SWAPPED and k > 1:
+            kernel = kernel.swapaxes(0, 1)
         if k > 1 and x.shape[2] <= 64 and _conv2d_pallas_on():
             from ..pallas.conv2d_kernel import _eligible, conv2d_same_fused
             if _eligible(x, kernel):

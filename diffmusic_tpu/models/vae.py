@@ -99,7 +99,18 @@ class AutoencoderKL(nn.Module):
         return jnp.transpose(mean, (0, 3, 1, 2))
 
     def decode(self, z: jax.Array) -> jax.Array:
-        """(B, latent, h, w) -> (B, C, H, W) mel."""
+        """(B, latent, h, w) -> (B, C, H, W) mel.
+
+        On TPU the decoder runs in the spatially swapped (B, W, H, C)
+        orientation: every decoder conv geometry measures as fast or faster
+        transposed (layers.spatial_swap) and the entry/exit NCHW transposes
+        simply use a different permutation — no extra copies anywhere."""
+        from .layers import spatial_swap, vae_swap_on
+        from ..pallas.attention_kernel import _on_tpu
+        if vae_swap_on() and _on_tpu():
+            with spatial_swap(True):
+                x = self.decoder(jnp.transpose(z, (0, 3, 2, 1)))
+            return jnp.transpose(x, (0, 3, 2, 1))
         x = self.decoder(jnp.transpose(z, (0, 2, 3, 1)))
         return jnp.transpose(x, (0, 3, 1, 2))
 

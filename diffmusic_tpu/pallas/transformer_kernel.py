@@ -35,20 +35,32 @@ from jax.experimental.pallas import tpu as pltpu
 import os
 
 
-def _block_geometry(t_pad: int):
+def _block_geometry(t: int):
     """(q_block, p_bf16) per sequence length, measured on v5e
     (tools/bench_transformer_block.py, 100-iter scans):
 
-      level-0 (T=4000, C=128): QB=128/fp32-p 2.203 ms; QB=256+bf16-p 2.416;
-        QB=128+bf16-p 2.343 -> keep 128/fp32 (256 with fp32 scores needs
-        24.45 MB VMEM, 8.45 over the limit)
-      level-1 (T=1000, C=256): QB=256+bf16-p 0.566 vs 128/fp32 0.627 -> 256
+      pad-free QB=200 when it divides T exactly (both UNet levels at 10-s
+      MusicLDM scale: T=4000 and T=1000): no x/k/v pad or out-slice copies
+      and no in-kernel key mask. level-0 2.183 ms (vs 2.203 at QB=128/fp32;
+      fp32-p at 200 rows would need ~19 MB VMEM -> bf16-p), level-1 0.564
+      (vs 0.566 at QB=256+bf16-p). QB=80/fp32 measured worse (2.238/0.720);
+      QB=400+bf16-p OOMs scoped VMEM (17.28 MB).
+      padded fallback: QB=128/fp32 for long T (QB=256 fp32 scores need
+      24.45 MB VMEM), QB=256+bf16-p for T <= 1024.
 
     Env overrides (A/B): DIFFMUSIC_TPU_QB, DIFFMUSIC_TPU_P_BF16."""
     qb_env = os.environ.get("DIFFMUSIC_TPU_QB")
     pb_env = os.environ.get("DIFFMUSIC_TPU_P_BF16")
-    qb = int(qb_env) if qb_env else (256 if t_pad <= 1024 else 128)
-    p_bf16 = (pb_env == "1") if pb_env is not None else (qb >= 256)
+    if qb_env:
+        qb = int(qb_env)
+        default_pb = qb >= 200
+    elif t % 200 == 0:
+        qb, default_pb = 200, True
+    elif t <= 1024:
+        qb, default_pb = 256, True
+    else:
+        qb, default_pb = 128, False
+    p_bf16 = (pb_env == "1") if pb_env is not None else default_pb
     return qb, p_bf16
 
 # test hook: run in interpreter mode on CPU
@@ -179,7 +191,7 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
         return _reference_block(x, p, heads, head_dim)
 
     b, t, c = x.shape
-    qb, p_bf16 = _block_geometry(((t + 127) // 128) * 128)
+    qb, p_bf16 = _block_geometry(t)
     t_pad = ((t + qb - 1) // qb) * qb
     scale = 1.0 / math.sqrt(head_dim)
 

@@ -250,6 +250,27 @@ class TestVAE:
         z2 = vae.apply(params, mel, jax.random.key(2), method=AutoencoderKL.encode)
         assert np.abs(np.asarray(z1 - z2)).max() > 1e-8
 
+    def test_swapped_orientation_decode_exact(self, rng, monkeypatch):
+        """The spatially swapped (B, W, H, C) decode (the TPU routing,
+        layers.spatial_swap) must match the plain orientation: a 3x3 'same'
+        conv commutes with the spatial transpose once the kernel (kh, kw)
+        axes are swapped, and every other decoder op is orientation-agnostic."""
+        import diffmusic_tpu.pallas.attention_kernel as ak
+        cfg = tiny_vae_config()
+        vae = AutoencoderKL(cfg)
+        # asymmetric spatial dims so an orientation bug cannot cancel out
+        mel = jnp.asarray(rng.standard_normal((1, 1, 32, 64)).astype(np.float32))
+        params = vae.init(jax.random.key(0), mel)
+        z = vae.apply(params, mel, method=AutoencoderKL.encode)
+        plain = vae.apply(params, z, method=AutoencoderKL.decode)
+        monkeypatch.setattr(ak, "_on_tpu", lambda: True)
+        # _on_tpu()=True also routes the mid attention (T=512 here) to the
+        # flash kernel; run it in interpreter mode on CPU
+        monkeypatch.setattr(ak, "_INTERPRET", True)
+        swapped = vae.apply(params, z, method=AutoencoderKL.decode)
+        np.testing.assert_allclose(np.asarray(swapped), np.asarray(plain),
+                                   atol=1e-5, rtol=1e-5)
+
 
 class TestNearestUpsample:
     @pytest.mark.parametrize("h,th", [(62, 125), (63, 125), (125, 250),
