@@ -157,8 +157,8 @@ class UNet2DConditionModel(nn.Module):
                         name=f"up_{i}")(x, skips, emb, contexts, context_masks)
 
         assert not skips
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
-                         name="conv_norm_out")(x)
-        x = nn.silu(x)
+        from .layers import FusedGroupNorm
+        x = FusedGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                           use_silu=True, name="conv_norm_out")(x)
         x = Conv2DSame(cfg.out_channels, name="conv_out")(x)
         return jnp.transpose(x, (0, 3, 1, 2))  # NHWC -> NCHW
