@@ -95,7 +95,7 @@ def _layer_norm(x, scale, bias, eps=1e-6):  # flax nn.LayerNorm default eps
 def _block_kernel(x_ref, kt_ref, v_ref, ln1_ref, wq_ref, wo_ref, bo_ref,
                   ln3_ref, wi_ref, bi_ref, wo2_ref, bo2_ref, out_ref, *,
                   heads: int, head_dim: int, t_valid: int, scale: float,
-                  p_bf16: bool):
+                  p_bf16: bool, mxu_denom: bool):
     x = x_ref[0]                                # (QB, C) input dtype
     kt = kt_ref[0]                              # (C, T_pad) input dtype
     v = v_ref[0, :, :]                          # (T_pad, C) value
@@ -127,9 +127,21 @@ def _block_kernel(x_ref, kt_ref, v_ref, ln1_ref, wq_ref, wo_ref, bo_ref,
         # exp via exp2: mathematically identical softmax (the scale folds into
         # the subtraction); measured A/B via tools/bench_transformer_block.py
         p = jnp.exp2((s - m) * 1.4426950408889634)
-        if p_bf16:
-            # bf16 probability storage; the sum still accumulates fp32 and the
-            # PV dot consumes bf16 operands either way
+        if p_bf16 and mxu_denom:
+            # bf16 probability storage; the softmax denominator rides the PV
+            # matmul as a ones-column appended to V (fp32 accumulated) —
+            # replacing the (QB, T) VPU sum per head. Measured per geometry
+            # (tools/bench_transformer_block.py, 100-iter scans x2): level-1
+            # (T=1000) 0.543 vs 0.564 ms/call — KEPT; level-0 (T=4000) 2.21
+            # vs 2.183 — the per-head (T, 9) concat copy outweighs the saved
+            # reduction at long T, so the gate is T <= 1024.
+            p = p.astype(x.dtype)
+            vh = v[:, lo:lo + head_dim].astype(x.dtype)    # (T, D)
+            ones = jnp.ones((vh.shape[0], 1), vh.dtype)
+            vh1 = jnp.concatenate([vh, ones], axis=1)      # (T, D+1)
+            oh9 = jnp.dot(p, vh1, preferred_element_type=jnp.float32)
+            oh = oh9[:, :head_dim] / oh9[:, head_dim:head_dim + 1]
+        elif p_bf16:
             p = p.astype(x.dtype)
             denom = jnp.sum(p, axis=-1, keepdims=True,
                             dtype=jnp.float32)
@@ -208,7 +220,8 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
 
     stack2 = lambda s_, b_: jnp.stack([p[s_], p[b_]]).astype(x.dtype)
     kernel = functools.partial(_block_kernel, heads=heads, head_dim=head_dim,
-                               t_valid=t, scale=scale, p_bf16=p_bf16)
+                               t_valid=t, scale=scale, p_bf16=p_bf16,
+                               mxu_denom=t_pad <= 1024)
     full = lambda shape: pl.BlockSpec(shape, lambda bb, i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     out = pl.pallas_call(
