@@ -180,10 +180,14 @@ class FusedGroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..pallas.groupnorm_kernel import fused_group_norm
+        from ..pallas.groupnorm_kernel import (_gn_mode, fused_group_norm,
+                                               stats_group_norm)
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if x.ndim == 4 and _gn_mode() == "stats":
+            return stats_group_norm(x, scale, bias, self.num_groups,
+                                    self.epsilon, self.use_silu)
         return fused_group_norm(x, scale, bias, self.num_groups,
                                 self.epsilon, self.use_silu)
 

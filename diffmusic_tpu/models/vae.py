@@ -14,8 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from .configs import VAEConfig
-from .layers import (Attention, Conv2DSame, Downsample2D, ResnetBlock2D,
-                     Upsample2D)
+from .layers import (Attention, Conv2DSame, Downsample2D, FusedGroupNorm,
+                     ResnetBlock2D, Upsample2D)
 
 
 class VAEAttentionBlock(nn.Module):
@@ -24,7 +24,8 @@ class VAEAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="group_norm")(x)
+        y = FusedGroupNorm(num_groups=self.groups, epsilon=1e-6,
+                           name="group_norm")(x)
         y = y.reshape(b, h * w, c)
         y = Attention(heads=1, head_dim=c, name="attention")(y)
         return x + y.reshape(b, h, w, c)
@@ -47,9 +48,8 @@ class Encoder(nn.Module):
         x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, name="mid_resnet_0")(x, None)
         x = VAEAttentionBlock(groups=cfg.norm_num_groups, name="mid_attn")(x)
         x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, name="mid_resnet_1")(x, None)
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
-                         name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = FusedGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+                           use_silu=True, name="conv_norm_out")(x)
         x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, name="conv_out")(x)
         x = nn.Conv(2 * cfg.latent_channels, (1, 1), name="quant_conv")(x)
         return x  # (B, H/s, W/s, 2*latent): mean || logvar
@@ -73,9 +73,8 @@ class Decoder(nn.Module):
                                   name=f"up_{i}_resnet_{j}")(x, None)
             if i != len(cfg.block_out_channels) - 1:
                 x = Upsample2D(ch, name=f"up_{i}_upsample")(x)
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
-                         name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = FusedGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+                           use_silu=True, name="conv_norm_out")(x)
         x = Conv2DSame(cfg.out_channels, name="conv_out")(x)
         return x
 

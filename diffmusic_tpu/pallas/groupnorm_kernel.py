@@ -41,15 +41,20 @@ _INTERPRET = False
 _ROW_LIMIT_ELEMS = 2 ** 20  # rows * C per batch row; max UNet block is 512K
 
 
+def _gn_mode() -> str:
+    # Three routings, A/B'd via DIFFMUSIC_TPU_GN:
+    #   "xla"   — flax composition.
+    #   "fused" — whole-GN(+SiLU) kernel: measured LOST/neutral on the UNet
+    #             (13.84 vs 13.75 ms/iter CFG fwd, tools/bench_unet.py) — the
+    #             saved stat-reduce pass is offset by losing XLA's fusion of
+    #             the normalize+SiLU into the following conv's operand load.
+    #   "stats" — pallas statistics only (channel_moments below), XLA
+    #             normalize keeps the conv fusion.
+    return os.environ.get("DIFFMUSIC_TPU_GN", "xla")
+
+
 def _gn_on() -> bool:
-    # Measured LOST/neutral (tools/bench_unet.py 100-iter scan, separate
-    # processes): UNet CFG fwd 13.84 ms/iter fused vs 13.75 XLA. The saved
-    # standalone stat-reduce pass is offset by losing XLA's fusion of the
-    # normalize+SiLU into the following conv's operand load — materializing
-    # the normalized activation re-adds the write+read the stats saved.
-    # Default xla; DIFFMUSIC_TPU_GN=fused keeps the A/B alive for emitter
-    # regressions.
-    return os.environ.get("DIFFMUSIC_TPU_GN", "xla") == "fused"
+    return _gn_mode() == "fused"
 
 
 def _group_maps(c: int, groups: int):
@@ -174,3 +179,127 @@ def _fgn_bwd(groups, eps, use_silu, res, g):
 
 
 fused_group_norm.defvjp(_fgn_fwd, _fgn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Stats-only formulation: replace ONLY the GroupNorm statistics pass with a
+# full-bandwidth pallas reduction and leave the normalize(+SiLU) in XLA so it
+# keeps fusing into the following conv's operand load — the fusion whose loss
+# made the fully-fused kernel neutral on the UNet (see _gn_on). The stat
+# reductions are the measured hot spot: 4.4 ms/step across VAE decoder levels
+# + 1.6 ms/step in the UNet at the 9.8 s bench state (device trace), ~17x the
+# ~0.3 ms memory floor for the activation bytes.
+# ---------------------------------------------------------------------------
+
+_MOMENT_BLOCK_ELEMS = 2 ** 19   # fp32 row block budget per grid step
+
+
+def _moments_block_rows(n: int, c: int) -> int:
+    """Largest row block <= the VMEM budget; prefer an exact divisor of n so
+    no pad copy or mask is needed (every VAE/UNet level at MusicLDM 10-s
+    scale divides exactly)."""
+    limit = max(8, min(n, _MOMENT_BLOCK_ELEMS // c) // 8 * 8)
+    for cand in range(limit, 7, -8):
+        if n % cand == 0:
+            return cand
+    return limit
+
+
+def _moments_kernel(x_ref, out_ref, *, rb: int, n: int):
+    j = pl.program_id(1)
+    xf = x_ref[0].astype(jnp.float32)              # (RB, C)
+    if n % rb != 0:
+        row = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0) + j * rb
+        xf = jnp.where(row < n, xf, 0.0)
+    s = jnp.sum(xf, axis=0, keepdims=True)         # (1, C)
+    ss = jnp.sum(xf * xf, axis=0, keepdims=True)
+    out_ref[0, 0] = jnp.concatenate([s, ss], axis=0)
+
+
+def _moments_reference(x2):
+    xf = x2.astype(jnp.float32)
+    return jnp.stack([jnp.sum(xf, axis=1), jnp.sum(xf * xf, axis=1)], axis=1)
+
+
+def _moments_eligible(x2) -> bool:
+    b, n, c = x2.shape
+    return c % 128 == 0 and c <= 1024 and n >= 8
+
+
+def _moments_impl(x2):
+    from .attention_kernel import _on_tpu
+    if not _INTERPRET and not (_on_tpu() and _moments_eligible(x2)):
+        return _moments_reference(x2)
+    b, n, c = x2.shape
+    rb = _moments_block_rows(n, c)
+    n_pad = ((n + rb - 1) // rb) * rb
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, 0), (0, n_pad - n), (0, 0)))
+    nblocks = n_pad // rb
+    kernel = functools.partial(_moments_kernel, rb=rb, n=n)
+    parts = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, nblocks, 2, c), jnp.float32),
+        grid=(b, nblocks),
+        in_specs=[pl.BlockSpec((1, rb, c), lambda bb, j: (bb, j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, 2, c), lambda bb, j: (bb, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * n_pad * c,
+            bytes_accessed=x2.dtype.itemsize * b * n_pad * c,
+            transcendentals=0),
+        interpret=_INTERPRET,
+    )(x2)
+    return jnp.sum(parts, axis=1)                   # (B, 2, C) fp32
+
+
+@jax.custom_vjp
+def channel_moments(x2):
+    """Per-channel sum and sum-of-squares of (B, N, C) x in fp32: (B, 2, C).
+
+    One full-bandwidth read of x; the group combine / mean / rsqrt happen on
+    the tiny (B, 2, C) result in XLA. custom_vjp so the pallas call never
+    lands in the transposed program region (measured ~0.8 ms/boundary
+    penalty there, docs/PERF_NOTES.md): the true VJP is elementwise,
+    dx = ds + 2x*dss."""
+    return _moments_impl(x2)
+
+
+def _moments_fwd(x2):
+    return _moments_impl(x2), x2
+
+
+def _moments_bwd(x2, g):
+    ds = g[:, 0][:, None, :]
+    dss = g[:, 1][:, None, :]
+    dx = ds + 2.0 * x2.astype(jnp.float32) * dss
+    return (dx.astype(x2.dtype),)
+
+
+channel_moments.defvjp(_moments_fwd, _moments_bwd)
+
+
+def stats_group_norm(x, scale, bias, groups: int, eps: float,
+                     use_silu: bool = False):
+    """GroupNorm(+SiLU) over NHWC x with pallas-accelerated statistics and a
+    plain-XLA normalize (kept fusable into the following conv's operand
+    load). Semantics identical to flax nn.GroupNorm (fp32 stats)."""
+    b, h, w, c = x.shape
+    n = h * w
+    m = channel_moments(x.reshape(b, n, c))         # (B, 2, C) fp32
+    gsz = c // groups
+    s_g = jnp.sum(m[:, 0].reshape(b, groups, gsz), axis=-1)
+    ss_g = jnp.sum(m[:, 1].reshape(b, groups, gsz), axis=-1)
+    count = float(n * gsz)
+    mu_g = s_g / count
+    var_g = ss_g / count - mu_g * mu_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mu_c = jnp.repeat(mu_g, gsz, axis=1)            # (B, C)
+    inv_c = jnp.repeat(inv_g, gsz, axis=1)
+    w_c = inv_c * scale.astype(jnp.float32)
+    b_c = bias.astype(jnp.float32) - mu_c * w_c
+    y = x.astype(jnp.float32) * w_c[:, None, None, :] + b_c[:, None, None, :]
+    if use_silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)

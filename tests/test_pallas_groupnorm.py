@@ -89,6 +89,64 @@ class TestFusedGroupNorm:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("shape,groups", [
+        ((2, 50, 16, 128), 32),     # exact row-block divisor path
+        ((1, 63, 4, 128), 32),      # 252 rows: padded + masked moments
+        ((1, 25, 10, 512), 32),     # VAE mid geometry (scaled)
+    ])
+    @pytest.mark.parametrize("use_silu", [False, True])
+    def test_stats_mode_matches_flax(self, rng, shape, groups, use_silu):
+        x = jnp.asarray(rng.standard_normal(shape) * 2.0 + 0.3, jnp.float32)
+        c = shape[-1]
+        scale = jnp.asarray(rng.standard_normal(c) * 0.2 + 1.0, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+        got = gk.stats_group_norm(x, scale, bias, groups, 1e-5, use_silu)
+        want = _flax_gn(x, scale, bias, groups, 1e-5, use_silu)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-5, atol=3e-5)
+
+    def test_channel_moments_gradient_is_exact(self, rng):
+        """channel_moments' hand-written VJP (dx = ds + 2x*dss — elementwise,
+        keeping the pallas call out of the transposed region) must match
+        autodiff through the reference reduction."""
+        x = jnp.asarray(rng.standard_normal((2, 24, 128)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((2, 2, 128)), jnp.float32)
+
+        g1 = jax.grad(lambda x_: jnp.sum(gk.channel_moments(x_) * w))(x)
+        g2 = jax.grad(lambda x_: jnp.sum(gk._moments_reference(x_) * w))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_stats_mode_gradient_matches_composition(self, rng):
+        """VAE decode is differentiated every guided step: the stats-mode
+        GroupNorm gradient must match autodiff through flax nn.GroupNorm."""
+        x = jnp.asarray(rng.standard_normal((1, 8, 4, 128)), jnp.float32)
+        scale = jnp.asarray(rng.standard_normal(128) * 0.1 + 1.0, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(128) * 0.1, jnp.float32)
+
+        def loss_stats(x_, s_, b_):
+            return jnp.sum(jnp.square(
+                gk.stats_group_norm(x_, s_, b_, 32, 1e-5, True)))
+
+        def loss_ref(x_, s_, b_):
+            return jnp.sum(jnp.square(_flax_gn(x_, s_, b_, 32, 1e-5, True)))
+
+        g1 = jax.grad(loss_stats, argnums=(0, 1, 2))(x, scale, bias)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_moments_block_rows_divisors(self):
+        """Every VAE/UNet level at MusicLDM 10-s scale gets an exact-divisor
+        row block (no pad copy): (N, C) from the swapped decoder + UNet."""
+        for n, c in [(4000, 512), (16000, 256), (64000, 128),
+                     (4000, 128), (1000, 256), (252, 384)]:
+            rb = gk._moments_block_rows(n, c)
+            assert rb % 8 == 0 and rb * c <= gk._MOMENT_BLOCK_ELEMS
+            if n % 8 == 0:
+                assert n % rb == 0, (n, c, rb)
+
     def test_ineligible_shapes_use_reference(self, rng):
         """Non-128-multiple channels and >VMEM tensors route to the XLA
         composition (the whole VAE decoder at full scale)."""
