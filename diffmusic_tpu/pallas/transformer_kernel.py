@@ -95,10 +95,11 @@ def _layer_norm(x, scale, bias, eps=1e-6):  # flax nn.LayerNorm default eps
 def _block_kernel(x_ref, kt_ref, v_ref, ln1_ref, wq_ref, wo_ref, bo_ref,
                   ln3_ref, wi_ref, bi_ref, wo2_ref, bo2_ref, out_ref, *,
                   heads: int, head_dim: int, t_valid: int, scale: float,
-                  p_bf16: bool, mxu_denom: bool):
+                  p_bf16: bool, mxu_denom: bool, fold_scale: bool,
+                  aug_w: int):
     x = x_ref[0]                                # (QB, C) input dtype
     kt = kt_ref[0]                              # (C, T_pad) input dtype
-    v = v_ref[0, :, :]                          # (T_pad, C) value
+    v = v_ref[0, :, :]                          # (T_pad, C) or (T_pad, H*aug_w)
 
     h1 = _layer_norm(x, ln1_ref[0, :], ln1_ref[1, :])     # (QB, C) fp32
     q = jnp.dot(h1.astype(x.dtype), wq_ref[:, :],
@@ -120,25 +121,25 @@ def _block_kernel(x_ref, kt_ref, v_ref, ln1_ref, wq_ref, wo_ref, bo_ref,
         qh = q[:, lo:lo + head_dim].astype(x.dtype)        # (QB, D)
         kth = kt[lo:lo + head_dim, :]                      # (D, T) sublane slice
         s = jax.lax.dot_general(qh, kth, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
+        if not fold_scale:
+            # softmax rides exp2 — mathematically identical once log2(e) is
+            # folded into the logit scale (ONE multiply pass, not two); with
+            # fold_scale the caller pre-multiplies wq so s arrives in log2
+            # units and there is no scaling pass at all
+            s = s * (scale * 1.4426950408889634)
         if neg is not None:
             s = s + neg
         m = jnp.max(s, axis=-1, keepdims=True)
-        # exp via exp2: mathematically identical softmax (the scale folds into
-        # the subtraction); measured A/B via tools/bench_transformer_block.py
-        p = jnp.exp2((s - m) * 1.4426950408889634)
+        p = jnp.exp2(s - m)
         if p_bf16 and mxu_denom:
             # bf16 probability storage; the softmax denominator rides the PV
-            # matmul as a ones-column appended to V (fp32 accumulated) —
-            # replacing the (QB, T) VPU sum per head. Measured per geometry
-            # (tools/bench_transformer_block.py, 100-iter scans x2): level-1
-            # (T=1000) 0.543 vs 0.564 ms/call — KEPT; level-0 (T=4000) 2.21
-            # vs 2.183 — the per-head (T, 9) concat copy outweighs the saved
-            # reduction at long T, so the gate is T <= 1024.
+            # matmul as a ones-column pre-baked into the aug_w-strided V
+            # layout built by the caller (v_aug[:, h*aug_w+head_dim] == 1) —
+            # replacing the (QB, T) VPU sum per head with fp32 MXU
+            # accumulation, with NO per-head concat copy in the kernel.
             p = p.astype(x.dtype)
-            vh = v[:, lo:lo + head_dim].astype(x.dtype)    # (T, D)
-            ones = jnp.ones((vh.shape[0], 1), vh.dtype)
-            vh1 = jnp.concatenate([vh, ones], axis=1)      # (T, D+1)
+            vh1 = v[:, h * aug_w:h * aug_w + aug_w]        # (T, aug_w)
             oh9 = jnp.dot(p, vh1, preferred_element_type=jnp.float32)
             oh = oh9[:, :head_dim] / oh9[:, head_dim:head_dim + 1]
         elif p_bf16:
@@ -207,6 +208,18 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
     t_pad = ((t + qb - 1) // qb) * qb
     scale = 1.0 / math.sqrt(head_dim)
 
+    # measured gates (tools/bench_transformer_block.py / bench_unet.py):
+    #   MXUD_T: ride the softmax denominator on the PV matmul when
+    #           t_pad <= threshold (pre-augmented V, no per-head concat).
+    #           T=4000 measured neutral (2.047 vs 2.028 ms) — stays 1024.
+    #   FOLDSCALE (default ON): pre-multiply wq by scale*log2e so the kernel
+    #           has zero logit-scaling VPU passes over the (QB, T) tile.
+    #           level-0 2.028 vs 2.241 ms/call; UNet CFG fwd 12.79 vs 13.71.
+    mxud_t = int(os.environ.get("DIFFMUSIC_TPU_MXUD_T", "1024"))
+    fold_scale = os.environ.get("DIFFMUSIC_TPU_FOLDSCALE", "1") == "1"
+    use_mxud = p_bf16 and t_pad <= mxud_t
+    aug_w = ((head_dim + 1 + 7) // 8) * 8 if use_mxud else 0
+
     h1 = _layer_norm(x, p["ln1_scale"], p["ln1_bias"]).astype(x.dtype)
     k = jnp.einsum("btc,cd->btd", h1, p["wk"])
     v = jnp.einsum("btc,cd->btd", h1, p["wv"])
@@ -218,10 +231,27 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
         xp = x
     kt = jnp.swapaxes(k, 1, 2)  # (B, C, T_pad), bf16 like the flash kernel
 
+    if use_mxud:
+        # per-head aug_w-wide V blocks: [v_h | 1 | 0...] — the ones column
+        # carries the softmax denominator through the PV dot (fp32 accum)
+        v4 = v.reshape(b, t_pad, heads, head_dim)
+        ones = jnp.ones((b, t_pad, heads, 1), v.dtype)
+        zer = jnp.zeros((b, t_pad, heads, aug_w - head_dim - 1), v.dtype)
+        v_in = jnp.concatenate([v4, ones, zer], -1).reshape(
+            b, t_pad, heads * aug_w)
+    else:
+        v_in = v
+
+    wq_in = p["wq"].astype(x.dtype)
+    if fold_scale:
+        wq_in = (p["wq"].astype(jnp.float32)
+                 * (scale * 1.4426950408889634)).astype(x.dtype)
+
     stack2 = lambda s_, b_: jnp.stack([p[s_], p[b_]]).astype(x.dtype)
     kernel = functools.partial(_block_kernel, heads=heads, head_dim=head_dim,
                                t_valid=t, scale=scale, p_bf16=p_bf16,
-                               mxu_denom=t_pad <= 1024)
+                               mxu_denom=use_mxud, fold_scale=fold_scale,
+                               aug_w=aug_w)
     full = lambda shape: pl.BlockSpec(shape, lambda bb, i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -233,7 +263,7 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, t_pad), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, c), lambda bb, i: (bb, 0, 0),
+            pl.BlockSpec((1, t_pad, v_in.shape[-1]), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             full((2, c)),                      # ln1 scale/bias
             full((c, c)),                      # wq
@@ -253,7 +283,7 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
             bytes_accessed=x.dtype.itemsize * b * t_pad * c * 8,
             transcendentals=b * t_pad * t_pad),
         interpret=_INTERPRET,
-    )(xp, kt, v, stack2("ln1_scale", "ln1_bias"), p["wq"].astype(x.dtype),
+    )(xp, kt, v_in, stack2("ln1_scale", "ln1_bias"), wq_in,
       p["wo"].astype(x.dtype), p["bo"].astype(x.dtype)[None],
       stack2("ln3_scale", "ln3_bias"), p["wi"].astype(x.dtype),
       p["bi"].astype(x.dtype)[None], p["wo2"].astype(x.dtype),
