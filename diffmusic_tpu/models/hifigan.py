@@ -140,6 +140,17 @@ def _dense_ct_on() -> bool:
     return _PACK_ON_CPU or _on_tpu()
 
 
+def _phase_ct_routed() -> bool:
+    """Pallas phase-GEMM upsampler forward (pallas/upsampler_kernel.py):
+    useful-FLOPs-only MXU dots writing per-phase outputs, native-transpose
+    backward. Gate: DIFFMUSIC_TPU_UPS=phase|xla. Measured on v5e
+    (tools/bench_vocoder_bwd.py 100 pallas, separate processes, same day):
+    vocoder fwd+bwd 31.21 ms/iter (phase) vs 32.82 (xla) — default ON;
+    full-program confirmation in docs/PERF_NOTES.md."""
+    import os
+    return os.environ.get("DIFFMUSIC_TPU_UPS", "phase") == "phase"
+
+
 def _pack_ratio(ch: int, t: int) -> int:
     """Packing factor for a stage of `ch` channels / `t` samples (1 = off)."""
     from ..pallas.conv1d_kernel import _on_tpu
@@ -248,7 +259,15 @@ class SpeechT5HifiGan(nn.Module):
                 # out = (in-1)*rate + k - 2(k-1) + lo + hi, so lo = hi = k-1-P
                 pad = k - 1 - (k - rate) // 2
                 t_out = (x.shape[1] - 1) * rate + k - 2 * ((k - rate) // 2)
-                if _dense_ct_on():
+                from ..pallas.upsampler_kernel import (phase_convtranspose,
+                                                       phase_ct_ok)
+                if _phase_ct_routed() and phase_ct_ok(cin, ch):
+                    w, b = _ConvTransposeParams(ch, k,
+                                                name=f"upsampler_{i}")(cin)
+                    x = phase_convtranspose(x, w.swapaxes(1, 2), b, rate, k,
+                                            t_out,
+                                            slope=cfg.leaky_relu_slope)
+                elif _dense_ct_on():
                     # stride-packed dense formulation: XLA's lhs-dilated
                     # lowering wastes ~rate x MACs (ops/packing.py)
                     from ..ops.packing import dense_convtranspose
