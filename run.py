@@ -58,6 +58,9 @@ def parse_arguments() -> Namespace:
                         help="device mesh spec, e.g. 'dp=4' or 'dp=2,tp=4': "
                              "shards the candidate batch (dp) and weight "
                              "channels (tp) over the chips jax.devices() sees")
+    parser.add_argument("-o", "--override", action="append", default=[],
+                        help="Hydra-style dotted config override, repeatable: "
+                             "-o model.pipe.audio_length_in_s=5 -o data.root=…")
     return parser.parse_args()
 
 
@@ -149,8 +152,14 @@ def main() -> None:
     from diffmusic_tpu.data import get_dataset, get_dataloader, write_wav
     from diffmusic_tpu.pipelines import save_mel_spectrogram
 
+    # cwd-relative configs/ (the reference's convention, run.py:147-151) when it
+    # exists, else the tree shipped next to this file — so the CLI works from
+    # any working directory
+    cfg_path = CONFIG_PATH if Path(CONFIG_PATH).is_dir() \
+        else str(Path(__file__).resolve().parent / CONFIG_PATH)
     config = compose(config_name=args.config_name, overrides=[
-        f"data={args.datasets}", f"model={args.model}"])
+        f"data={args.datasets}", f"model={args.model}", *args.override],
+        config_path=cfg_path)
     if args.num_inference_steps is not None:
         config.model.pipe.num_inference_steps = args.num_inference_steps
     if args.num_waveforms_per_prompt != 1:
