@@ -127,6 +127,65 @@ def _synth_whisper_checkpoint(root: Path) -> Path:
     return path
 
 
+def _synth_hubert_checkpoint(root: Path) -> Path:
+    """Random-weight tiny HuBERT in HF layout
+    (reference fadtk/model_loader.py:561-595)."""
+    import torch
+    from transformers import HubertConfig, HubertModel
+    torch.manual_seed(0)
+    cfg = HubertConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=(16,) * 7, do_stable_layer_norm=False)
+    path = root / "hubert-base-ls960"
+    HubertModel(cfg).eval().save_pretrained(str(path))
+    return path
+
+
+def _synth_wavlm_checkpoint(root: Path) -> Path:
+    """Random-weight tiny WavLM in HF layout
+    (reference fadtk/model_loader.py:598-632)."""
+    import torch
+    from transformers import WavLMConfig, WavLMModel
+    torch.manual_seed(0)
+    cfg = WavLMConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=(16,) * 7, do_stable_layer_norm=False)
+    path = root / "wavlm-base"
+    WavLMModel(cfg).eval().save_pretrained(str(path))
+    return path
+
+
+def _synth_encodec_checkpoint(root: Path) -> Path:
+    """Random-weight tiny EnCodec in HF layout — the loader reads the
+    continuous pre-quantization encoder output (reference
+    fadtk/model_loader.py:111-186)."""
+    import torch
+    from transformers import EncodecConfig, EncodecModel
+    torch.manual_seed(0)
+    cfg = EncodecConfig(
+        hidden_size=16, num_filters=4, num_residual_layers=1,
+        upsampling_ratios=[8, 5, 4, 2], codebook_size=64,
+        codebook_dim=16, sampling_rate=24000)
+    path = root / "encodec_24k"
+    EncodecModel(cfg).eval().save_pretrained(str(path))
+    return path
+
+
+def _synth_mert_checkpoint(root: Path) -> Path:
+    """MERT is a HuBERT-family model (reference fadtk/model_loader.py:254-287
+    loads m-a-p/MERT-v1-95M via AutoModel); a tiny HubertModel saved under the
+    MERT subdir exercises the same AutoModel + per-layer plumbing."""
+    import torch
+    from transformers import HubertConfig, HubertModel
+    torch.manual_seed(1)
+    cfg = HubertConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=(16,) * 7, do_stable_layer_norm=False)
+    path = root / "MERT-v1-95M"
+    HubertModel(cfg).eval().save_pretrained(str(path))
+    return path
+
+
 class TestRealEmbedderEndToEnd:
     """Drive checkpoint-gated zoo loaders with synthesized local weights
     through the full cache -> stats -> score -> score_inf -> CSV path
@@ -180,6 +239,54 @@ class TestRealEmbedderEndToEnd:
                               .standard_normal(32000).astype(np.float32))
         assert emb.ndim == 2 and emb.shape[0] > 20
         assert np.isfinite(emb).all()
+
+    def test_hubert_loader_contract(self, tmp_path):
+        _synth_hubert_checkpoint(tmp_path)
+        m = get_model("hubert-base", checkpoint_dir=str(tmp_path))
+        emb = m.get_embedding(np.random.default_rng(0)
+                              .standard_normal(32000).astype(np.float32))
+        assert emb.ndim == 2 and emb.shape[0] > 20
+        assert np.isfinite(emb).all()
+
+    def test_wavlm_loader_contract(self, tmp_path):
+        _synth_wavlm_checkpoint(tmp_path)
+        m = get_model("wavlm-base", checkpoint_dir=str(tmp_path))
+        emb = m.get_embedding(np.random.default_rng(0)
+                              .standard_normal(32000).astype(np.float32))
+        assert emb.ndim == 2 and emb.shape[0] > 20
+        assert np.isfinite(emb).all()
+
+    def test_encodec_loader_contract(self, tmp_path):
+        _synth_encodec_checkpoint(tmp_path)
+        m = get_model("encodec-emb", checkpoint_dir=str(tmp_path))
+        emb = m.get_embedding(np.random.default_rng(0)
+                              .standard_normal(48000).astype(np.float32))
+        # (frames, hidden): continuous encoder output, transposed
+        assert emb.ndim == 2 and emb.shape[0] > 20
+        assert np.isfinite(emb).all()
+
+    def test_mert_per_layer_contract(self, tmp_path):
+        _synth_mert_checkpoint(tmp_path)
+        # the per-layer variant (layer 1 of the tiny 2-layer model) and the
+        # final-layer default must both work and differ
+        m_final = get_model("MERT-v1-95M", checkpoint_dir=str(tmp_path))
+        m_l1 = get_model("MERT-v1-95M-1", checkpoint_dir=str(tmp_path))
+        audio = np.random.default_rng(0).standard_normal(48000).astype(
+            np.float32)
+        e_final, e_l1 = m_final.get_embedding(audio), m_l1.get_embedding(audio)
+        assert e_final.shape == e_l1.shape and e_final.ndim == 2
+        assert not np.allclose(e_final, e_l1)
+
+    def test_hubert_full_fad_path(self, tmp_path):
+        _synth_hubert_checkpoint(tmp_path)
+        gt, ev = tmp_path / "gt", tmp_path / "ev"
+        gt.mkdir(), ev.mkdir()
+        _make_wavs(gt, 2, seed=1), _make_wavs(ev, 2, seed=2)
+        engine = FADEngine(model_name="hubert-base",
+                           checkpoint_dir=str(tmp_path))
+        fad = engine.score(gt, ev)
+        assert np.isfinite(fad) and fad > 0
+        assert engine.score(gt, gt) == pytest.approx(0.0, abs=1e-6)
 
     def test_whisper_scores_differ_from_w2v2(self, tmp_path):
         # two different loaders on the same audio give independent caches

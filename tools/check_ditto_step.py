@@ -37,16 +37,24 @@ def main(outer: int = 2):
     cls_dim = pipe.unet_cfg.projection_class_embeddings_input_dim
     prompt_embeds = jnp.zeros((2, cls_dim), jnp.bfloat16)
 
-    t0 = time.time()
-    out, losses = pipe(prompt_embeds=prompt_embeds, audio_length_in_s=audio_s,
-                       num_inference_steps=20, guidance_scale=2.0,
-                       measurement=measurement, ip_guidance_rate=0.5,
-                       eta=1.0, optim_outer_loop=outer, return_losses=True,
-                       key=jax.random.key(0))
-    wall = time.time() - t0
-    assert np.isfinite(out.audios).all()
-    assert np.isfinite(np.asarray(losses, np.float64)).all()
-    print(f"ditto {outer}x20-step full-scale OK  total={wall:.1f}s  "
+    # two timed calls in ONE process: the first carries the compile (the
+    # DITTO program misses the persistent cache through the tunnel), the
+    # second is guaranteed warm — its wall / outer is the steady-state cost
+    walls = []
+    for rep in range(2):
+        t0 = time.time()
+        out, losses = pipe(prompt_embeds=prompt_embeds,
+                           audio_length_in_s=audio_s,
+                           num_inference_steps=20, guidance_scale=2.0,
+                           measurement=measurement, ip_guidance_rate=0.5,
+                           eta=1.0, optim_outer_loop=outer,
+                           return_losses=True, key=jax.random.key(rep))
+        walls.append(time.time() - t0)
+        assert np.isfinite(out.audios).all()
+        assert np.isfinite(np.asarray(losses, np.float64)).all()
+    print(f"ditto {outer}x20-step full-scale OK  "
+          f"cold={walls[0]:.1f}s warm={walls[1]:.1f}s "
+          f"({walls[1] / outer:.2f} s/outer steady)  "
           f"loss={float(np.asarray(losses).ravel()[-1]):.1f}", flush=True)
 
 

@@ -64,14 +64,20 @@ def main(steps: int = 10, seconds: float = 5.0):
         proj_params=cast(proj_p), dtype=jnp.bfloat16)
 
     prompt_embeds = jnp.zeros((2, 12, t5_cfg.d_model), jnp.bfloat16)
-    t0 = time.time()
-    out = pipe(prompt_embeds=prompt_embeds, audio_end_in_s=seconds,
-               num_inference_steps=steps, guidance_scale=7.0,
-               key=jax.random.key(1))
-    wall = time.time() - t0
-    audio = out.audios
-    assert np.isfinite(audio).all(), "non-finite audio"
-    print(f"stable_audio {steps}-step {seconds:.0f}s OK  total={wall:.1f}s  "
+    # two timed calls in one process: first carries the compile, second is
+    # warm — its wall / steps is the steady-state per-step cost
+    walls = []
+    for rep in range(2):
+        t0 = time.time()
+        out = pipe(prompt_embeds=prompt_embeds, audio_end_in_s=seconds,
+                   num_inference_steps=steps, guidance_scale=7.0,
+                   key=jax.random.key(1 + rep))
+        walls.append(time.time() - t0)
+        audio = out.audios
+        assert np.isfinite(audio).all(), "non-finite audio"
+    print(f"stable_audio {steps}-step {seconds:.0f}s OK  "
+          f"cold={walls[0]:.1f}s warm={walls[1]:.1f}s "
+          f"({1e3 * walls[1] / steps:.1f} ms/step steady)  "
           f"audio={audio.shape}", flush=True)
 
 
