@@ -61,6 +61,11 @@ def cache_embedding_files(directory, model, workers: int = 1,
             if not cache_path(f, model.name).exists()]
     if not todo:
         return 0
+    # load the model before decoding: load_wav resamples to model.sr, which
+    # must not be observed before a lazy load_model had a chance to refine it
+    if hasattr(model, "loaded") and not model.loaded:
+        model.load_model()
+        model.loaded = True
     for f in todo:
         cache_path(f, model.name).parent.mkdir(parents=True, exist_ok=True)
 

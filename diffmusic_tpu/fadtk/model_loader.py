@@ -250,7 +250,12 @@ class CLAPLaionModel(_LocalCheckpointLoader):
     here the tower is the converted local CLAP audio model)."""
 
     def __init__(self, type: str = "audio", checkpoint_dir=None):
-        super().__init__(f"clap-laion-{type}", 512, 48000, checkpoint_dir)
+        # sr=16000: prepare_clap_input (models/clap_features.py) consumes
+        # 16 kHz mono and does the 48 kHz resample itself, unlike the
+        # reference loader which feeds laion_clap 48 kHz directly. Declared
+        # here (not in load_model) so load_wav resamples correctly even for
+        # files decoded before the lazy model load.
+        super().__init__(f"clap-laion-{type}", 512, 16000, checkpoint_dir)
         self.type = type
         self.subdir = "clap"
 
@@ -276,10 +281,24 @@ class CLAPLaionModel(_LocalCheckpointLoader):
         params = convert.convert_clap_audio(_load_module_sd(path), cfg)
         self.model = make_clap_audio_embed(ClapAudioModelWithProjection(cfg),
                                            params)
-        self.sr = 16000  # the feature pipeline consumes 16 kHz mono
 
     def _get_embedding(self, audio):
-        emb = self.model(np.asarray(audio, np.float32)[None])
+        # reference frame contract (fadtk/model_loader.py:391-412): int16
+        # quantization round-trip, 10-s chunks at 1-s hop (zero-padded tail),
+        # one embedding per chunk stacked to (timeframes, 512). Chunks are
+        # batched through the flax tower in ONE call instead of a per-chunk
+        # loop.
+        x = np.asarray(audio, np.float32)
+        x = (np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16) / 32767.0
+        chunk, hop = 10 * self.sr, self.sr
+        starts = range(0, max(len(x), 1), hop)
+        rows = []
+        for i in starts:
+            c = x[i:i + chunk]
+            if len(c) < chunk:
+                c = np.pad(c, (0, chunk - len(c)))
+            rows.append(c)
+        emb = self.model(np.stack(rows).astype(np.float32))
         return np.asarray(emb)
 
 

@@ -186,6 +186,33 @@ def _synth_mert_checkpoint(root: Path) -> Path:
     return path
 
 
+def _synth_clap_checkpoint(root: Path) -> Path:
+    """CLAP-LAION routes through this package's own flax HTSAT tower
+    (model_loader.CLAPLaionModel); a tiny transformers ClapModel saved under
+    'clap' exercises config parsing, convert_clap_audio, the 10-s/1-s-hop
+    chunk contract, and the full FAD path. spec_size/num_mel_bins stay at the
+    production 256/64 (the feature pipeline's output geometry); only
+    depth/width shrink."""
+    import torch
+    from transformers import ClapConfig, ClapModel
+    torch.manual_seed(0)
+    cfg = ClapConfig(
+        audio_config=dict(
+            spec_size=256, patch_size=4, patch_stride=[4, 4],
+            num_mel_bins=64, window_size=8, depths=[1, 1],
+            num_attention_heads=[2, 2], patch_embeds_hidden_size=8,
+            hidden_size=16, projection_dim=16, enable_fusion=False,
+            drop_path_rate=0.0, attention_probs_dropout_prob=0.0,
+            hidden_dropout_prob=0.0),
+        text_config=dict(hidden_size=16, num_hidden_layers=1,
+                         num_attention_heads=2, intermediate_size=32,
+                         vocab_size=100, projection_dim=16),
+        projection_dim=16)
+    path = root / "clap"
+    ClapModel(cfg).eval().save_pretrained(str(path))
+    return path
+
+
 class TestRealEmbedderEndToEnd:
     """Drive checkpoint-gated zoo loaders with synthesized local weights
     through the full cache -> stats -> score -> score_inf -> CSV path
@@ -283,6 +310,31 @@ class TestRealEmbedderEndToEnd:
         gt.mkdir(), ev.mkdir()
         _make_wavs(gt, 2, seed=1), _make_wavs(ev, 2, seed=2)
         engine = FADEngine(model_name="hubert-base",
+                           checkpoint_dir=str(tmp_path))
+        fad = engine.score(gt, ev)
+        assert np.isfinite(fad) and fad > 0
+        assert engine.score(gt, gt) == pytest.approx(0.0, abs=1e-6)
+
+    def test_clap_laion_loader_contract(self, tmp_path):
+        _synth_clap_checkpoint(tmp_path)
+        m = get_model("clap-laion-audio", checkpoint_dir=str(tmp_path))
+        # sr must already be correct BEFORE the lazy model load: load_wav
+        # resamples against it when the engine decodes the first file
+        assert m.sr == 16000
+        audio = np.random.default_rng(0).standard_normal(32000).astype(
+            np.float32)
+        emb = m.get_embedding(audio)
+        # reference frame contract (fadtk/model_loader.py:391-412): one
+        # embedding per 10-s/1-s-hop chunk -> 2 frames for a 2-s clip
+        assert emb.shape == (2, 16)
+        assert np.isfinite(emb).all()
+
+    def test_clap_laion_full_fad_path(self, tmp_path):
+        _synth_clap_checkpoint(tmp_path)
+        gt, ev = tmp_path / "gt", tmp_path / "ev"
+        gt.mkdir(), ev.mkdir()
+        _make_wavs(gt, 2, seed=1), _make_wavs(ev, 2, seed=2)
+        engine = FADEngine(model_name="clap-laion-audio",
                            checkpoint_dir=str(tmp_path))
         fad = engine.score(gt, ev)
         assert np.isfinite(fad) and fad > 0
