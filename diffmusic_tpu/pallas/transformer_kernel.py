@@ -92,11 +92,19 @@ def _layer_norm(x, scale, bias, eps=1e-6):  # flax nn.LayerNorm default eps
         + bias.astype(jnp.float32)
 
 
-def _block_kernel(x_ref, kt_ref, v_ref, ln1_ref, wq_ref, wo_ref, bo_ref,
-                  ln3_ref, wi_ref, bi_ref, wo2_ref, bo2_ref, out_ref, *,
+def _block_kernel(x_ref, kt_ref, v_ref, *refs,
                   heads: int, head_dim: int, t_valid: int, scale: float,
                   p_bf16: bool, mxu_denom: bool, fold_scale: bool,
-                  aug_w: int):
+                  aug_w: int, bsoft: bool):
+    # the kmax operand exists ONLY in bsoft mode so the default program's
+    # HLO (and its persistent-cache entry) is unchanged when the gate is off
+    if bsoft:
+        (kmax_ref, ln1_ref, wq_ref, wo_ref, bo_ref, ln3_ref, wi_ref, bi_ref,
+         wo2_ref, bo2_ref, out_ref) = refs
+    else:
+        kmax_ref = None
+        (ln1_ref, wq_ref, wo_ref, bo_ref, ln3_ref, wi_ref, bi_ref,
+         wo2_ref, bo2_ref, out_ref) = refs
     x = x_ref[0]                                # (QB, C) input dtype
     kt = kt_ref[0]                              # (C, T_pad) input dtype
     v = v_ref[0, :, :]                          # (T_pad, C) or (T_pad, H*aug_w)
@@ -120,6 +128,24 @@ def _block_kernel(x_ref, kt_ref, v_ref, ln1_ref, wq_ref, wo_ref, bo_ref,
         # kernel and XLA's dot_product_attention on bf16 inputs
         qh = q[:, lo:lo + head_dim].astype(x.dtype)        # (QB, D)
         kth = kt[lo:lo + head_dim, :]                      # (D, T) sublane slice
+        if bsoft:
+            # bounded softmax: softmax(s) is invariant to any per-row shift,
+            # and the shift only exists to keep exp2 finite — so the full
+            # (QB, T) row-max VPU reduce is replaced by the Cauchy-Schwarz
+            # bound ||q_r||*max_k||k_k|| >= max_k s_rk (kmax precomputed per
+            # head outside the kernel; qnorm is a (QB, D) reduce, 500x
+            # smaller; both norms are of the exact bf16 operands the MXU
+            # dots, so the bound is true for the computed logits). The slack
+            # Delta = bound - rowmax uniformly scales p by 2^-Delta, which
+            # fp32/bf16 absorb until underflow at ~2^-126/-133; attention
+            # logits and norms are O(10), leaving >100 log2-units of margin
+            # (guarded denominator below). Computed BEFORE the logit dot so
+            # the (QB, T) score tile's live range stays minimal.
+            qh32 = qh.astype(jnp.float32)
+            qn = jnp.sqrt(jnp.sum(qh32 * qh32, axis=-1, keepdims=True))
+            bound = qn * kmax_ref[0, 0, h]
+            if not fold_scale:
+                bound = bound * (scale * 1.4426950408889634)
         s = jax.lax.dot_general(qh, kth, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if not fold_scale:
@@ -130,8 +156,11 @@ def _block_kernel(x_ref, kt_ref, v_ref, ln1_ref, wq_ref, wo_ref, bo_ref,
             s = s * (scale * 1.4426950408889634)
         if neg is not None:
             s = s + neg
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m)
+        if bsoft:
+            p = jnp.exp2(s - bound)
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
         if p_bf16 and mxu_denom:
             # bf16 probability storage; the softmax denominator rides the PV
             # matmul as a ones-column pre-baked into the aug_w-strided V
@@ -141,16 +170,23 @@ def _block_kernel(x_ref, kt_ref, v_ref, ln1_ref, wq_ref, wo_ref, bo_ref,
             p = p.astype(x.dtype)
             vh1 = v[:, h * aug_w:h * aug_w + aug_w]        # (T, aug_w)
             oh9 = jnp.dot(p, vh1, preferred_element_type=jnp.float32)
-            oh = oh9[:, :head_dim] / oh9[:, head_dim:head_dim + 1]
+            den = oh9[:, head_dim:head_dim + 1]
+            if bsoft:
+                den = jnp.maximum(den, 1e-37)
+            oh = oh9[:, :head_dim] / den
         elif p_bf16:
             p = p.astype(x.dtype)
             denom = jnp.sum(p, axis=-1, keepdims=True,
                             dtype=jnp.float32)
+            if bsoft:
+                denom = jnp.maximum(denom, 1e-37)
             vh = v[:, lo:lo + head_dim].astype(x.dtype)    # (T, D)
             oh = jnp.dot(p, vh,
                          preferred_element_type=jnp.float32) / denom
         else:
             denom = jnp.sum(p, axis=-1, keepdims=True)
+            if bsoft:
+                denom = jnp.maximum(denom, 1e-37)
             vh = v[:, lo:lo + head_dim].astype(x.dtype)    # (T, D)
             oh = jnp.dot(p.astype(x.dtype), vh,
                          preferred_element_type=jnp.float32) / denom
@@ -215,8 +251,11 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
     #   FOLDSCALE (default ON): pre-multiply wq by scale*log2e so the kernel
     #           has zero logit-scaling VPU passes over the (QB, T) tile.
     #           level-0 2.028 vs 2.241 ms/call; UNet CFG fwd 12.79 vs 13.71.
+    #   BSOFT: bounded softmax — drop the per-head (QB, T) row-max pass in
+    #           favor of the Cauchy-Schwarz logit bound (see _block_kernel).
     mxud_t = int(os.environ.get("DIFFMUSIC_TPU_MXUD_T", "1024"))
     fold_scale = os.environ.get("DIFFMUSIC_TPU_FOLDSCALE", "1") == "1"
+    bsoft = os.environ.get("DIFFMUSIC_TPU_BSOFT", "0") == "1"
     use_mxud = p_bf16 and t_pad <= mxud_t
     aug_w = ((head_dim + 1 + 7) // 8) * 8 if use_mxud else 0
 
@@ -247,11 +286,22 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
         wq_in = (p["wq"].astype(jnp.float32)
                  * (scale * 1.4426950408889634)).astype(x.dtype)
 
+    if bsoft:
+        # per-(batch, head) max key norm, over the bf16 keys the kernel will
+        # actually dot against (padded rows are zero -> norm 0, no effect)
+        k4 = k.astype(jnp.float32).reshape(b, t_pad, heads, head_dim)
+        kmax = jnp.sqrt(jnp.max(jnp.sum(k4 * k4, axis=-1), axis=1))
+        kmax_ops = [kmax[:, None, :]]                      # (B, 1, heads)
+        kmax_specs = [pl.BlockSpec((1, 1, heads), lambda bb, i: (bb, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+    else:
+        kmax_ops, kmax_specs = [], []
+
     stack2 = lambda s_, b_: jnp.stack([p[s_], p[b_]]).astype(x.dtype)
     kernel = functools.partial(_block_kernel, heads=heads, head_dim=head_dim,
                                t_valid=t, scale=scale, p_bf16=p_bf16,
                                mxu_denom=use_mxud, fold_scale=fold_scale,
-                               aug_w=aug_w)
+                               aug_w=aug_w, bsoft=bsoft)
     full = lambda shape: pl.BlockSpec(shape, lambda bb, i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -265,6 +315,7 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, v_in.shape[-1]), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
+            *kmax_specs,                       # kmax (bsoft mode only)
             full((2, c)),                      # ln1 scale/bias
             full((c, c)),                      # wq
             full((c, c)),                      # wo
@@ -282,8 +333,13 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
                                    + c * p["wi"].shape[1] * 3),
             bytes_accessed=x.dtype.itemsize * b * t_pad * c * 8,
             transcendentals=b * t_pad * t_pad),
+        # bsoft's qnorm/bound temporaries tipped the QB=200 level-0 geometry
+        # just over the default 16 MB scoped-VMEM stack; raise the cap only
+        # for that mode (baseline layout/double-buffering stays untouched)
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=24 * 2**20)
+                         if bsoft else None),
         interpret=_INTERPRET,
-    )(xp, kt, v_in, stack2("ln1_scale", "ln1_bias"), wq_in,
+    )(xp, kt, v_in, *kmax_ops, stack2("ln1_scale", "ln1_bias"), wq_in,
       p["wo"].astype(x.dtype), p["bo"].astype(x.dtype)[None],
       stack2("ln3_scale", "ln3_bias"), p["wi"].astype(x.dtype),
       p["bi"].astype(x.dtype)[None], p["wo2"].astype(x.dtype),

@@ -67,6 +67,24 @@ class TestFusedTransformerBlock:
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(want), rtol=5e-2, atol=5e-2)
 
+    @pytest.mark.parametrize("amp", [0.3, 5.0])  # 5.0: large logits/norms,
+    def test_bounded_softmax_matches_reference(self, rng, amp, monkeypatch):
+        """DIFFMUSIC_TPU_BSOFT=1 replaces the per-head row-max pass with the
+        Cauchy-Schwarz logit bound; softmax is shift-invariant so the result
+        must match the reference composition at kernel tolerance, including
+        when the bound is slack (large-amplitude inputs)."""
+        monkeypatch.setenv("DIFFMUSIC_TPU_BSOFT", "1")
+        heads, head_dim = 4, 8
+        c = heads * head_dim
+        x = jnp.asarray(rng.standard_normal((2, 600, c)) * amp, jnp.float32)
+        blk = BasicTransformerBlock(heads, head_dim)
+        params = blk.init(jax.random.key(0), x)
+        got = blk.apply(params, x)  # fused path, bsoft on
+        want = _unfused_composition(x, params, heads, head_dim)
+        assert np.isfinite(np.asarray(got)).all()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3 * amp)
+
     def test_param_tree_matches_unfused_variant(self, rng):
         """Both routing choices must declare the identical param tree, so a
         tree initialized short (unfused) works long (fused) and vice versa."""
