@@ -8,6 +8,7 @@ accumulation, and no data-dependent control flow so everything scans/jits.
 """
 
 import contextlib
+import os
 from typing import Optional, Sequence
 
 import flax.linen as nn
@@ -308,6 +309,20 @@ class _AttnParams(nn.Module):
         return wq, wk, wv, wo, bo
 
 
+class _CrossAttnParams(nn.Module):
+    """Attention's exact param tree for a cross stream (to_k/to_v project
+    from the context dim)."""
+    inner: int
+
+    @nn.compact
+    def __call__(self, cin_q: int, cin_kv: int):
+        wq, _ = _DenseParams(self.inner, False, name="to_q")(cin_q)
+        wk, _ = _DenseParams(self.inner, False, name="to_k")(cin_kv)
+        wv, _ = _DenseParams(self.inner, False, name="to_v")(cin_kv)
+        wo, bo = _DenseParams(cin_q, True, name="to_out")(self.inner)
+        return wq, wk, wv, wo, bo
+
+
 class _FFParams(nn.Module):
     mult: int = 4
 
@@ -327,12 +342,15 @@ class BasicTransformerBlock(nn.Module):
     AudioLDM2's dual conditioning (GPT-2 stream + T5 stream, reference
     plpeline_audioldm2.py:1147-1154).
 
-    The self-attention-only variant on long sequences runs as ONE fused Pallas
-    block (pallas/transformer_kernel.py): the UNet is memory-bound (297 GF vs
+    On long sequences the block runs as ONE fused Pallas kernel
+    (pallas/transformer_kernel.py): the UNet is memory-bound (297 GF vs
     5.8 GB HBM traffic per CFG pass) and the fusion keeps the whole block's
-    intermediates in VMEM. The param tree is identical between paths (the
-    _*Params holders declare exactly nn.LayerNorm/nn.Dense's trees), so
-    checkpoints and the converter are unaffected.
+    intermediates in VMEM. This covers both the self-attention-only variant
+    (MusicLDM) and the dual-cross variant (AudioLDM2 — the tiny-kv cross
+    streams ride the same kernel; gate DIFFMUSIC_TPU_FUSED_CROSS). The param
+    tree is identical between fused/unfused paths (the _*Params holders
+    declare exactly nn.LayerNorm/nn.Dense's trees), so checkpoints and the
+    converter are unaffected.
     """
     heads: int
     head_dim: int
@@ -341,16 +359,42 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, contexts=(), context_masks=()):
         inner = self.heads * self.head_dim
-        if not self.cross_dims and x.shape[1] >= 512 and inner == x.shape[-1]:
+        fusable = x.shape[1] >= 512 and inner == x.shape[-1]
+        # measured on v5e (tools/check_audioldm2_step.py 100, separate
+        # processes): fused dual-cross 52.4 vs 51.2 ms/step unfused — the
+        # tiny-kv cross streams' LN/projection ops are already amortized by
+        # XLA around the flash self-attention; default OFF (A/B gate kept)
+        fuse_cross = (self.cross_dims and fusable
+                      and len(contexts) == len(self.cross_dims)
+                      and os.environ.get("DIFFMUSIC_TPU_FUSED_CROSS",
+                                         "0") == "1")
+        if (not self.cross_dims and fusable) or fuse_cross:
             from ..pallas.transformer_kernel import fused_transformer_block
             s1, b1 = _LNParams(name="norm1")(x.shape[-1])
             wq, wk, wv, wo, bo = _AttnParams(inner, name="attn1")(x.shape[-1])
+            p = dict(ln1_scale=s1, ln1_bias=b1, wq=wq, wk=wk, wv=wv, wo=wo,
+                     bo=bo)
+            biases = []
+            for i, cdim in enumerate(self.cross_dims):
+                s2, b2 = _LNParams(name=f"norm2_{i}")(x.shape[-1])
+                cwq, cwk, cwv, cwo, cbo = _CrossAttnParams(
+                    inner, name=f"attn2_{i}")(x.shape[-1], cdim)
+                p.update({f"ln2{i}_scale": s2, f"ln2{i}_bias": b2,
+                          f"cwq{i}": cwq, f"cwk{i}": cwk, f"cwv{i}": cwv,
+                          f"cwo{i}": cwo, f"cbo{i}": cbo})
+                m = context_masks[i] if i < len(context_masks) else None
+                tk = contexts[i].shape[1]
+                if m is None:
+                    biases.append(jnp.zeros((x.shape[0], 1, tk), jnp.float32))
+                else:
+                    biases.append(jnp.where(m[:, None, :], 0.0,
+                                            -1e9).astype(jnp.float32))
             s3, b3 = _LNParams(name="norm3")(x.shape[-1])
             wi, bi, wo2, bo2 = _FFParams(name="ff")(x.shape[-1])
-            p = dict(ln1_scale=s1, ln1_bias=b1, wq=wq, wk=wk, wv=wv, wo=wo,
-                     bo=bo, ln3_scale=s3, ln3_bias=b3, wi=wi, bi=bi, wo2=wo2,
-                     bo2=bo2)
-            return fused_transformer_block(x, p, self.heads, self.head_dim)
+            p.update(dict(ln3_scale=s3, ln3_bias=b3, wi=wi, bi=bi, wo2=wo2,
+                          bo2=bo2))
+            return fused_transformer_block(x, p, self.heads, self.head_dim,
+                                           tuple(contexts), tuple(biases))
 
         h = nn.LayerNorm(name="norm1")(x)
         x = x + Attention(self.heads, self.head_dim, name="attn1")(h)

@@ -95,16 +95,18 @@ def _layer_norm(x, scale, bias, eps=1e-6):  # flax nn.LayerNorm default eps
 def _block_kernel(x_ref, kt_ref, v_ref, *refs,
                   heads: int, head_dim: int, t_valid: int, scale: float,
                   p_bf16: bool, mxu_denom: bool, fold_scale: bool,
-                  aug_w: int, bsoft: bool):
-    # the kmax operand exists ONLY in bsoft mode so the default program's
-    # HLO (and its persistent-cache entry) is unchanged when the gate is off
-    if bsoft:
-        (kmax_ref, ln1_ref, wq_ref, wo_ref, bo_ref, ln3_ref, wi_ref, bi_ref,
-         wo2_ref, bo2_ref, out_ref) = refs
-    else:
-        kmax_ref = None
-        (ln1_ref, wq_ref, wo_ref, bo_ref, ln3_ref, wi_ref, bi_ref,
-         wo2_ref, bo2_ref, out_ref) = refs
+                  aug_w: int, bsoft: bool, n_cross: int):
+    # the kmax operand exists ONLY in bsoft mode, and the cross-stream
+    # operands only for n_cross > 0, so the default (MusicLDM) program's
+    # HLO (and its persistent-cache entry) is unchanged when both are off
+    refs = list(refs)
+    kmax_ref = refs.pop(0) if bsoft else None
+    cross_refs = []                    # per stream: kt, v, bias, ln2, wq, wo, bo
+    for _ in range(n_cross):
+        cross_refs.append(tuple(refs[:7]))
+        refs = refs[7:]
+    (ln1_ref, wq_ref, wo_ref, bo_ref, ln3_ref, wi_ref, bi_ref,
+     wo2_ref, bo2_ref, out_ref) = refs
     x = x_ref[0]                                # (QB, C) input dtype
     kt = kt_ref[0]                              # (C, T_pad) input dtype
     v = v_ref[0, :, :]                          # (T_pad, C) or (T_pad, H*aug_w)
@@ -197,6 +199,38 @@ def _block_kernel(x_ref, kt_ref, v_ref, *refs,
                    preferred_element_type=jnp.float32) + bo_ref[0, :]
     res1 = x.astype(jnp.float32) + attn                    # residual 1
 
+    # cross-attention streams (AudioLDM2 dual conditioning): kv is tiny
+    # (8/12 tokens padded to one 128 lane tile), so each stream costs two
+    # small MXU projections and a (QB, 128)-tile softmax — the win is keeping
+    # LN2_i / projections / residuals VMEM-resident instead of separate ops
+    for ckt_ref, cv_ref, cbias_ref, cln_ref, cwq_ref, cwo_ref, cbo_ref \
+            in cross_refs:
+        hc = _layer_norm(res1, cln_ref[0, :], cln_ref[1, :])
+        qc = jnp.dot(hc.astype(x.dtype), cwq_ref[:, :],
+                     preferred_element_type=jnp.float32)   # (QB, C)
+        # additive bias (key padding + attention mask), natural log units
+        cbias = cbias_ref[0] * 1.4426950408889634          # (1, Tk) log2
+        ckt = ckt_ref[0]                                   # (C, Tk)
+        cv = cv_ref[0]                                     # (Tk, C)
+        couts = []
+        for h in range(heads):
+            lo = h * head_dim
+            qh = qc[:, lo:lo + head_dim].astype(x.dtype)
+            s = jax.lax.dot_general(qh, ckt[lo:lo + head_dim, :],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * (scale * 1.4426950408889634) + cbias
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            den = jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(x.dtype), cv[:, lo:lo + head_dim],
+                        preferred_element_type=jnp.float32) / den
+            couts.append(o)
+        cattn = jnp.concatenate(couts, axis=-1)            # (QB, C)
+        res1 = res1 + jnp.dot(cattn.astype(x.dtype), cwo_ref[:, :],
+                              preferred_element_type=jnp.float32) \
+            + cbo_ref[0, :]
+
     h2 = _layer_norm(res1, ln3_ref[0, :], ln3_ref[1, :])
     ff = jnp.dot(h2.astype(x.dtype), wi_ref[:, :],
                  preferred_element_type=jnp.float32) + bi_ref[0, :]
@@ -207,7 +241,7 @@ def _block_kernel(x_ref, kt_ref, v_ref, *refs,
     out_ref[0] = (res1 + y).astype(out_ref.dtype)
 
 
-def _reference_block(x, p, heads, head_dim):
+def _reference_block(x, p, heads, head_dim, contexts=(), cross_biases=()):
     """Plain-XLA composition with identical semantics (CPU path + backward)."""
     scale = 1.0 / math.sqrt(head_dim)
     h1 = _layer_norm(x, p["ln1_scale"], p["ln1_bias"]).astype(x.dtype)
@@ -224,6 +258,21 @@ def _reference_block(x, p, heads, head_dim):
     o = jnp.einsum("bhqk,bkhd->bqhd", pr, vh.astype(jnp.float32))
     o = o.reshape(b, t, c).astype(x.dtype)
     res1 = x + (o @ p["wo"] + p["bo"]).astype(x.dtype)
+    for i, ctx in enumerate(contexts):
+        hc = _layer_norm(res1, p[f"ln2{i}_scale"],
+                         p[f"ln2{i}_bias"]).astype(x.dtype)
+        qc = (hc @ p[f"cwq{i}"]).reshape(b, t, heads, head_dim)
+        ckv = ctx.astype(x.dtype)
+        tk = ckv.shape[1]
+        kc = (ckv @ p[f"cwk{i}"]).reshape(b, tk, heads, head_dim)
+        vc = (ckv @ p[f"cwv{i}"]).reshape(b, tk, heads, head_dim)
+        sc = jnp.einsum("bqhd,bkhd->bhqk", qc.astype(jnp.float32),
+                        kc.astype(jnp.float32)) * scale
+        sc = sc + cross_biases[i].astype(jnp.float32)[:, None]  # (B,1,Tk)
+        pc = jax.nn.softmax(sc, axis=-1)
+        oc = jnp.einsum("bhqk,bkhd->bqhd", pc, vc.astype(jnp.float32))
+        oc = oc.reshape(b, t, c).astype(x.dtype)
+        res1 = res1 + (oc @ p[f"cwo{i}"] + p[f"cbo{i}"]).astype(x.dtype)
     h2 = _layer_norm(res1, p["ln3_scale"], p["ln3_bias"]).astype(x.dtype)
     ff = h2 @ p["wi"] + p["bi"]
     a, g = jnp.split(ff, 2, axis=-1)
@@ -232,12 +281,21 @@ def _reference_block(x, p, heads, head_dim):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def fused_transformer_block(x, p, heads: int, head_dim: int):
+def fused_transformer_block(x, p, heads: int, head_dim: int,
+                            contexts=(), cross_biases=()):
     """x: (B, T, C); p: dict of block params (ln1_*, wq/wk/wv/wo/bo, ln3_*,
-    wi/bi, wo2/bo2). Self-attention-only BasicTransformerBlock."""
+    wi/bi, wo2/bo2 [+ per cross stream i: ln2{i}_*, cwq{i}/cwk{i}/cwv{i}/
+    cwo{i}/cbo{i}]). BasicTransformerBlock: self-attention, then the given
+    cross-attention streams (AudioLDM2 dual conditioning — GPT-2 + T5,
+    reference plpeline_audioldm2.py:1147-1154), then GEGLU FF.
+
+    contexts: per-stream (B, Tk_i, ctx_dim) conditioning sequences.
+    cross_biases: per-stream (B, 1, Tk_i) float additive logit bias in
+    natural log units (0 / -1e9 from the attention mask) — required when
+    contexts are given (pass zeros when unmasked)."""
     from .attention_kernel import _on_tpu
     if not _INTERPRET and not _on_tpu():
-        return _reference_block(x, p, heads, head_dim)
+        return _reference_block(x, p, heads, head_dim, contexts, cross_biases)
 
     b, t, c = x.shape
     qb, p_bf16 = _block_geometry(t)
@@ -297,11 +355,50 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
     else:
         kmax_ops, kmax_specs = [], []
 
+    # cross-stream K/V are projected outside (tiny GEMMs over Tk<=~128
+    # tokens) and padded to one lane tile; the padded keys are masked off
+    # through the additive bias
+    cross_ops, cross_specs = [], []
+    n_cross = len(contexts)
+    for i, ctx in enumerate(contexts):
+        ckv = ctx.astype(x.dtype)
+        ck = jnp.einsum("btc,cd->btd", ckv, p[f"cwk{i}"].astype(x.dtype))
+        cv = jnp.einsum("btc,cd->btd", ckv, p[f"cwv{i}"].astype(x.dtype))
+        tk = ck.shape[1]
+        tk_pad = ((tk + 127) // 128) * 128
+        cbias = cross_biases[i].astype(jnp.float32)        # (B, 1, Tk)
+        if tk_pad != tk:
+            ck = jnp.pad(ck, ((0, 0), (0, tk_pad - tk), (0, 0)))
+            cv = jnp.pad(cv, ((0, 0), (0, tk_pad - tk), (0, 0)))
+            cbias = jnp.pad(cbias, ((0, 0), (0, 0), (0, tk_pad - tk)),
+                            constant_values=-1e9)
+        cross_ops += [
+            jnp.swapaxes(ck, 1, 2), cv, cbias,
+            jnp.stack([p[f"ln2{i}_scale"], p[f"ln2{i}_bias"]]).astype(x.dtype),
+            p[f"cwq{i}"].astype(x.dtype), p[f"cwo{i}"].astype(x.dtype),
+            p[f"cbo{i}"].astype(x.dtype)[None],
+        ]
+        whole = lambda shape: pl.BlockSpec(
+            shape, lambda bb, i_, _s=len(shape): (0,) * _s,
+            memory_space=pltpu.VMEM)
+        cross_specs += [
+            pl.BlockSpec((1, c, tk_pad), lambda bb, i_: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, c), lambda bb, i_: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk_pad), lambda bb, i_: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            whole((2, c)),                     # ln2_i scale/bias
+            whole((c, c)),                     # cwq_i
+            whole((c, c)),                     # cwo_i
+            whole((1, c)),                     # cbo_i
+        ]
+
     stack2 = lambda s_, b_: jnp.stack([p[s_], p[b_]]).astype(x.dtype)
     kernel = functools.partial(_block_kernel, heads=heads, head_dim=head_dim,
                                t_valid=t, scale=scale, p_bf16=p_bf16,
                                mxu_denom=use_mxud, fold_scale=fold_scale,
-                               aug_w=aug_w, bsoft=bsoft)
+                               aug_w=aug_w, bsoft=bsoft, n_cross=n_cross)
     full = lambda shape: pl.BlockSpec(shape, lambda bb, i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -316,6 +413,7 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
             pl.BlockSpec((1, t_pad, v_in.shape[-1]), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             *kmax_specs,                       # kmax (bsoft mode only)
+            *cross_specs,                      # cross streams (AudioLDM2)
             full((2, c)),                      # ln1 scale/bias
             full((c, c)),                      # wq
             full((c, c)),                      # wo
@@ -333,13 +431,15 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
                                    + c * p["wi"].shape[1] * 3),
             bytes_accessed=x.dtype.itemsize * b * t_pad * c * 8,
             transcendentals=b * t_pad * t_pad),
-        # bsoft's qnorm/bound temporaries tipped the QB=200 level-0 geometry
-        # just over the default 16 MB scoped-VMEM stack; raise the cap only
-        # for that mode (baseline layout/double-buffering stays untouched)
+        # bsoft's qnorm/bound temporaries (and the cross-stream K/V/weight
+        # blocks) tip the QB=200 level-0 geometry just over the default 16 MB
+        # scoped-VMEM stack; raise the cap only for those modes (the default
+        # MusicLDM program's layout/double-buffering stays untouched)
         compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=24 * 2**20)
-                         if bsoft else None),
+                         if (bsoft or n_cross) else None),
         interpret=_INTERPRET,
-    )(xp, kt, v_in, *kmax_ops, stack2("ln1_scale", "ln1_bias"), wq_in,
+    )(xp, kt, v_in, *kmax_ops, *cross_ops,
+      stack2("ln1_scale", "ln1_bias"), wq_in,
       p["wo"].astype(x.dtype), p["bo"].astype(x.dtype)[None],
       stack2("ln3_scale", "ln3_bias"), p["wi"].astype(x.dtype),
       p["bi"].astype(x.dtype)[None], p["wo2"].astype(x.dtype),
@@ -347,15 +447,21 @@ def fused_transformer_block(x, p, heads: int, head_dim: int):
     return out[:, :t]
 
 
-def _ftb_fwd(x, p, heads, head_dim):
-    return fused_transformer_block(x, p, heads, head_dim), (x, p)
+def _ftb_fwd(x, p, heads, head_dim, contexts=(), cross_biases=()):
+    out = fused_transformer_block(x, p, heads, head_dim, contexts,
+                                  cross_biases)
+    return out, (x, p, contexts, cross_biases)
 
 
 def _ftb_bwd(heads, head_dim, res, g):
-    x, p = res
-    _, vjp = jax.vjp(lambda x_, p_: _reference_block(x_, p_, heads, head_dim),
-                     x, p)
-    return vjp(g.astype(x.dtype))
+    x, p, contexts, cross_biases = res
+    _, vjp = jax.vjp(
+        lambda x_, p_, c_: _reference_block(x_, p_, heads, head_dim, c_,
+                                            cross_biases),
+        x, p, contexts)
+    dx, dp, dctx = vjp(g.astype(x.dtype))
+    # the biases encode the (non-differentiable) attention mask
+    return dx, dp, dctx, jax.tree.map(jnp.zeros_like, cross_biases)
 
 
 fused_transformer_block.defvjp(_ftb_fwd, _ftb_bwd)

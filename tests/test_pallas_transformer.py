@@ -85,6 +85,50 @@ class TestFusedTransformerBlock:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-3, atol=2e-3 * amp)
 
+    def test_dual_cross_fused_matches_unfused(self, rng, monkeypatch):
+        """The AudioLDM2 dual-cross-stream fused block (self-attn + two
+        cross streams + GEGLU FF in one kernel) must match the unfused
+        composition, including a partial attention mask on one stream."""
+        heads, head_dim = 4, 8
+        c = heads * head_dim
+        x = jnp.asarray(rng.standard_normal((2, 600, c)) * 0.3, jnp.float32)
+        ctx0 = jnp.asarray(rng.standard_normal((2, 8, 24)) * 0.3, jnp.float32)
+        ctx1 = jnp.asarray(rng.standard_normal((2, 12, 40)) * 0.3,
+                           jnp.float32)
+        mask1 = jnp.asarray([[1] * 9 + [0] * 3, [1] * 12], bool)
+        blk = BasicTransformerBlock(heads, head_dim, cross_dims=(24, 40))
+        params = blk.init(jax.random.key(0), x, (ctx0, ctx1), (None, mask1))
+        monkeypatch.setenv("DIFFMUSIC_TPU_FUSED_CROSS", "1")
+        got = blk.apply(params, x, (ctx0, ctx1), (None, mask1))  # fused
+        monkeypatch.setenv("DIFFMUSIC_TPU_FUSED_CROSS", "0")
+        want = blk.apply(params, x, (ctx0, ctx1), (None, mask1))  # unfused
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-4)
+
+    def test_dual_cross_gradients(self, rng, monkeypatch):
+        """optim_prompt differentiates the UNet w.r.t. the prompt streams:
+        the fused block's custom VJP must propagate to x AND both contexts."""
+        heads, head_dim = 2, 8
+        c = heads * head_dim
+        x = jnp.asarray(rng.standard_normal((1, 600, c)) * 0.3, jnp.float32)
+        ctx0 = jnp.asarray(rng.standard_normal((1, 8, 24)) * 0.3, jnp.float32)
+        ctx1 = jnp.asarray(rng.standard_normal((1, 12, 40)) * 0.3,
+                           jnp.float32)
+        blk = BasicTransformerBlock(heads, head_dim, cross_dims=(24, 40))
+        params = blk.init(jax.random.key(0), x, (ctx0, ctx1), ())
+
+        def loss(x_, c0, c1):
+            return jnp.sum(blk.apply(params, x_, (c0, c1), ()) ** 2)
+
+        monkeypatch.setenv("DIFFMUSIC_TPU_FUSED_CROSS", "1")
+        g = jax.grad(loss, argnums=(0, 1, 2))(x, ctx0, ctx1)
+        tk._INTERPRET = False  # unfused reference path on CPU
+        monkeypatch.setenv("DIFFMUSIC_TPU_FUSED_CROSS", "0")
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(x, ctx0, ctx1)
+        for a, b in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-3, atol=3e-3)
+
     def test_param_tree_matches_unfused_variant(self, rng):
         """Both routing choices must declare the identical param tree, so a
         tree initialized short (unfused) works long (fused) and vice versa."""
@@ -103,6 +147,14 @@ class TestFusedTransformerBlock:
         y = blk.apply(short, jnp.asarray(rng.standard_normal((1, 600, c)),
                                          jnp.float32))
         assert np.isfinite(np.asarray(y)).all()
+
+        # same contract for the dual-cross variant (checkpoints loaded under
+        # either routing must apply under the other)
+        cblk = BasicTransformerBlock(heads, head_dim, cross_dims=(24, 40))
+        ctxs = (jnp.zeros((1, 8, 24)), jnp.zeros((1, 12, 40)))
+        cshort = cblk.init(jax.random.key(0), jnp.zeros((1, 100, c)), ctxs)
+        clong = cblk.init(jax.random.key(0), jnp.zeros((1, 600, c)), ctxs)
+        assert shapes(cshort) == shapes(clong)
 
     def test_gradient_through_fused(self, rng):
         heads, head_dim = 2, 8
