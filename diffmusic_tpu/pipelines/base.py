@@ -123,7 +123,14 @@ def run_ditto(loss_of_init, decode_fn, init_latents, key,
     torch.optim.SGD([init_latents], lr=ip_guidance_rate).
     """
     grad_fn = jax.jit(jax.value_and_grad(loss_of_init, has_aux=True))
+    # commit the initial latent to its device: iteration >= 2 feeds back
+    # grad_fn's own (committed) output, and jit keys committed and
+    # uncommitted arguments differently — without this the SAME program
+    # compiles twice per process (measured: two persistent-cache entries and
+    # a doubled DITTO cold start through the remote-compile tunnel)
     latents = init_latents
+    if isinstance(latents, jax.Array) and len(latents.devices()) == 1:
+        latents = jax.device_put(latents, next(iter(latents.devices())))
     losses = []
     for it in range(optim_outer_loop):
         (loss, final), grad = grad_fn(latents, key)

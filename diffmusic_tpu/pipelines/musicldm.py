@@ -328,7 +328,14 @@ class MusicLDMPipeline:
                 self._denoise_cache[static_key] = jax.jit(
                     jax.value_and_grad(loss_of_init, argnums=1, has_aux=True))
             grad_fn = self._denoise_cache[static_key]
+            # commit the initial latent: iteration >= 2 feeds back grad_fn's
+            # committed output, and jit keys committed/uncommitted arguments
+            # differently — uncommitted first input = the SAME program
+            # compiled twice per process (measured via duplicate
+            # jit_loss_of_init persistent-cache entries; see PERF_NOTES)
             lat = latents
+            if isinstance(lat, jax.Array) and len(lat.devices()) == 1:
+                lat = jax.device_put(lat, next(iter(lat.devices())))
             for _ in range(optim_outer_loop):
                 (loss, final), grad = grad_fn(mparams, lat, scan_key,
                                               measurement, prompt_embeds)
