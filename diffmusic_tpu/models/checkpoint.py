@@ -359,13 +359,46 @@ def load_musicldm(checkpoint_dir, scheduler_name="ddim", operator=None,
         except Exception:
             tokenizer = None
 
+    # MusicLDM's text_encoder is a full ClapModel — when the snapshot carries
+    # the audio tower, wire it (reference pipeline_musicldm.py:86-88)
+    clap_audio_embed, clap_frame_embed = _build_clap_audio(txt_sd, txt_json)
+
     return MusicLDMPipeline(
         unet_cfg=unet_cfg, vae_cfg=vae_cfg, vocoder_cfg=voc_cfg, text_cfg=txt_cfg,
         unet_params=unet_params, vae_params=vae_params, vocoder_params=voc_params,
         text_params=txt_params,
         schedule=schedule if schedule is not None else DiffusionSchedule(),
         scheduler_name=scheduler_name,
-        operator=operator, tokenizer=tokenizer)
+        operator=operator, tokenizer=tokenizer,
+        clap_audio_embed=clap_audio_embed, clap_frame_embed=clap_frame_embed)
+
+
+def _build_clap_audio(clap_sd, clap_json):
+    """Optional CLAP audio tower from a ClapModel state dict: returns
+    (pooled-embedding callable, per-frame-feature callable) or (None, None).
+    The pooled embed serves prompt_type='clap' (plpeline_audioldm2.py:469-481)
+    and CLAP re-ranking; the frame embed serves the StyleGuidanceOperator
+    gram matrix (operator.py:253-271, dead in the reference, wired here)."""
+    if not any(k.startswith("audio_model.") for k in clap_sd):
+        return None, None
+    from .htsat import ClapAudioModelWithProjection, ClapAudioConfig
+    from .clap_features import make_clap_audio_embed, make_clap_frame_embed
+    ajson = clap_json.get("audio_config", {})
+    a_cfg = ClapAudioConfig(
+        spec_size=ajson.get("spec_size", 256),
+        patch_size=ajson.get("patch_size", 4),
+        patch_stride=tuple(ajson.get("patch_stride", (4, 4))),
+        num_mel_bins=ajson.get("num_mel_bins", 64),
+        window_size=ajson.get("window_size", 8),
+        depths=tuple(ajson.get("depths", (2, 2, 6, 2))),
+        num_attention_heads=tuple(ajson.get("num_attention_heads",
+                                            (4, 8, 16, 32))),
+        patch_embeds_hidden_size=ajson.get("patch_embeds_hidden_size", 96),
+        projection_dim=clap_json.get("projection_dim", 512))
+    a_params = convert.convert_clap_audio(clap_sd, a_cfg)
+    tower = ClapAudioModelWithProjection(a_cfg)
+    return (make_clap_audio_embed(tower, a_params),
+            make_clap_frame_embed(tower, a_params))
 
 
 def _make_hf_tokenizer(tok_dir):
@@ -468,25 +501,7 @@ def load_audioldm2(checkpoint_dir, scheduler_name="ddim", operator=None,
     proj_params = convert.convert_projection(_load_module_sd(d / "projection_model"))
 
     # optional CLAP audio tower (for prompt_type='clap' / style guidance)
-    clap_audio_embed = None
-    if any(k.startswith("audio_model.") for k in clap_sd):
-        from .htsat import ClapAudioModelWithProjection, ClapAudioConfig
-        from .clap_features import make_clap_audio_embed
-        ajson = clap_json.get("audio_config", {})
-        a_cfg = ClapAudioConfig(
-            spec_size=ajson.get("spec_size", 256),
-            patch_size=ajson.get("patch_size", 4),
-            patch_stride=tuple(ajson.get("patch_stride", (4, 4))),
-            num_mel_bins=ajson.get("num_mel_bins", 64),
-            window_size=ajson.get("window_size", 8),
-            depths=tuple(ajson.get("depths", (2, 2, 6, 2))),
-            num_attention_heads=tuple(ajson.get("num_attention_heads",
-                                                (4, 8, 16, 32))),
-            patch_embeds_hidden_size=ajson.get("patch_embeds_hidden_size", 96),
-            projection_dim=clap_json.get("projection_dim", 512))
-        a_params = convert.convert_clap_audio(clap_sd, a_cfg)
-        clap_audio_embed = make_clap_audio_embed(
-            ClapAudioModelWithProjection(a_cfg), a_params)
+    clap_audio_embed, clap_frame_embed = _build_clap_audio(clap_sd, clap_json)
 
     return AudioLDM2Pipeline(
         unet_cfg=unet_cfg, vae_cfg=vae_cfg, vocoder_cfg=voc_cfg, text_cfg=txt_cfg,
@@ -499,6 +514,7 @@ def load_audioldm2(checkpoint_dir, scheduler_name="ddim", operator=None,
         t5_params=t5_params, gpt2_params=gpt2_params, proj_params=proj_params,
         t5_tokenizer=_make_hf_tokenizer(d / "tokenizer_2"),
         max_new_tokens=max_new_tokens, clap_audio_embed=clap_audio_embed,
+        clap_frame_embed=clap_frame_embed,
         vits_cfg=vits_cfg, vits_params=vits_params,
         vits_tokenizer=_make_hf_tokenizer(d / "tokenizer_2") if is_tts else None)
 

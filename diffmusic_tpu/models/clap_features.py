@@ -77,9 +77,45 @@ def prepare_clap_input(wav_16k: jax.Array,
 def make_clap_audio_embed(htsat_model, htsat_params,
                           cfg: ClapFeatureConfig = ClapFeatureConfig()):
     """waveform(16k) -> normalized CLAP audio embedding, one callable for
-    pipelines (prompt_type='clap') and StyleGuidanceOperator."""
+    pipelines (prompt_type='clap') and score_waveforms re-ranking."""
     def embed(wav_16k):
         feats = prepare_clap_input(wav_16k, cfg)
         emb = htsat_model.apply(htsat_params, feats)
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    return embed
+
+
+def tiny_clap_feature_config() -> ClapFeatureConfig:
+    """16 kHz, 1-s window, 16 mel bins: matches htsat.tiny_clap_audio_config
+    and avoids the 48 kHz resample — the fake-backend feature path for tests
+    and the --tiny CLI mode."""
+    return ClapFeatureConfig(sampling_rate=16000, hop_length=160,
+                             fft_window_size=256, feature_size=16,
+                             frequency_max=8000.0, max_length_s=1.0)
+
+
+def make_tiny_clap_audio_embeds(key):
+    """Random tiny HTSAT tower -> (pooled embed, frame embed) callables, the
+    CLAP-audio fake backend for MusicLDMPipeline.tiny/AudioLDM2Pipeline.tiny."""
+    from .htsat import ClapAudioModelWithProjection, tiny_clap_audio_config
+    a_cfg = tiny_clap_audio_config()
+    f_cfg = tiny_clap_feature_config()
+    tower = ClapAudioModelWithProjection(a_cfg)
+    params = tower.init(key, jnp.zeros((1, 1, 8, a_cfg.num_mel_bins)))
+    return (make_clap_audio_embed(tower, params, f_cfg),
+            make_clap_frame_embed(tower, params, f_cfg))
+
+
+def make_clap_frame_embed(htsat_model, htsat_params,
+                          cfg: ClapFeatureConfig = ClapFeatureConfig()):
+    """waveform(16k) -> L2-normalized per-frame CLAP features (B, T', D) — the
+    patch-feature map behind StyleGuidanceOperator's gram-matrix style loss
+    (reference operator.py:253-271's clap_model.get_gram_matrix, which the
+    reference never defines; here the frame features come from the same HTSAT
+    tower with frequency-only pooling, htsat.py features='frames').
+    Fully differentiable: resample -> STFT -> mel -> Swin -> projection."""
+    def embed(wav_16k):
+        feats = prepare_clap_input(wav_16k, cfg)
+        emb = htsat_model.apply(htsat_params, feats, features="frames")
         return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
     return embed

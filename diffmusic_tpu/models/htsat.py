@@ -200,12 +200,19 @@ class ClapAudioModelWithProjection(nn.Module):
     cfg: ClapAudioConfig
 
     @nn.compact
-    def __call__(self, input_features: jax.Array) -> jax.Array:
+    def __call__(self, input_features: jax.Array,
+                 features: str = "pooled") -> jax.Array:
         """(B, 1, T, num_mel_bins) log-mel -> (B, projection_dim) audio embeds.
 
         Mirrors ClapAudioEncoder.forward: channel-wise BatchNorm over mel bins
         (inference: running stats), reshape_mel2img time folding, patch embed,
         Swin stages, LayerNorm, freq-grouped avgpool, 2-layer projection.
+
+        features="frames" pools only over the frequency axis and projects each
+        temporal frame, returning (B, T', projection_dim) — the patch-feature
+        sequence the StyleGuidanceOperator's gram matrix needs (reference
+        operator.py:253-271 calls an undefined clap_model.get_gram_matrix; this
+        is the working TPU-native definition of that feature map).
         """
         cfg = self.cfg
 
@@ -271,9 +278,14 @@ class ClapAudioModelWithProjection(nn.Module):
         c_freq_bin = freq_shape // fr
         y = y.reshape(b, nC, freq_shape // c_freq_bin, c_freq_bin, temporal_shape)
         y = jnp.transpose(y, (0, 1, 3, 2, 4)).reshape(b, nC, c_freq_bin, -1)
-        pooled = jnp.mean(y.reshape(b, nC, -1), axis=-1)
+        if features == "frames":
+            # per-frame features: pool only over frequency, keep time
+            pooled = jnp.transpose(jnp.mean(y, axis=2), (0, 2, 1))  # (B, T', C)
+        else:
+            pooled = jnp.mean(y.reshape(b, nC, -1), axis=-1)
 
-        # ClapProjectionLayer: linear -> relu -> linear
+        # ClapProjectionLayer: linear -> relu -> linear (Dense maps the last
+        # axis, so the same projection weights serve both feature modes)
         p = nn.Dense(cfg.projection_dim, name="projection_linear1")(pooled)
         p = nn.relu(p)
         p = nn.Dense(cfg.projection_dim, name="projection_linear2")(p)

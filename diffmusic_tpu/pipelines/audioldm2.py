@@ -253,6 +253,10 @@ class AudioLDM2Pipeline(MusicLDMPipeline):
                 mask[i, :len(row)] = 1
             return ids, mask
 
+        from ..models.clap_features import make_tiny_clap_audio_embeds
+        clap_audio_embed, clap_frame_embed = make_tiny_clap_audio_embeds(
+            jax.random.fold_in(k, 99))
+
         return cls(unet_cfg=unet_cfg, vae_cfg=vae_cfg, vocoder_cfg=voc_cfg,
                    text_cfg=txt_cfg, unet_params=unet_params,
                    vae_params=vae_params, vocoder_params=voc_params,
@@ -261,4 +265,6 @@ class AudioLDM2Pipeline(MusicLDMPipeline):
                    tokenizer=byte_tokenizer,
                    t5_cfg=t5_cfg, gpt2_cfg=gpt2_cfg, proj_cfg=proj_cfg,
                    t5_params=t5_params, gpt2_params=gpt2_params,
-                   proj_params=proj_params, t5_tokenizer=byte_tokenizer)
+                   proj_params=proj_params, t5_tokenizer=byte_tokenizer,
+                   clap_audio_embed=clap_audio_embed,
+                   clap_frame_embed=clap_frame_embed)

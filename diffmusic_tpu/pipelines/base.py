@@ -113,6 +113,21 @@ def denoise_with_nan_retry(run_fn, init_latents, key, max_retries: int = 10):
     return final, losses
 
 
+def _commit_latents(latents):
+    """Commit the initial latent to its device: iteration >= 2 of a DITTO loop
+    feeds back grad_fn's own (committed) output, and jit keys committed and
+    uncommitted arguments differently — without this the SAME program compiles
+    twice per process (measured: two persistent-cache entries and a doubled
+    DITTO cold start through the remote-compile tunnel). Host numpy arrays are
+    normalized through jnp.asarray so they get committed too; multi-device
+    (sharded) arrays are left alone — their sharding IS the commitment."""
+    if not isinstance(latents, jax.Array):
+        latents = jnp.asarray(latents)
+    if len(latents.devices()) == 1:
+        latents = jax.device_put(latents, next(iter(latents.devices())))
+    return latents
+
+
 def run_ditto(loss_of_init, decode_fn, init_latents, key,
               optim_outer_loop: int, lr: float):
     """DITTO: SGD on the initial latent through the full differentiable chain.
@@ -123,14 +138,7 @@ def run_ditto(loss_of_init, decode_fn, init_latents, key,
     torch.optim.SGD([init_latents], lr=ip_guidance_rate).
     """
     grad_fn = jax.jit(jax.value_and_grad(loss_of_init, has_aux=True))
-    # commit the initial latent to its device: iteration >= 2 feeds back
-    # grad_fn's own (committed) output, and jit keys committed and
-    # uncommitted arguments differently — without this the SAME program
-    # compiles twice per process (measured: two persistent-cache entries and
-    # a doubled DITTO cold start through the remote-compile tunnel)
-    latents = init_latents
-    if isinstance(latents, jax.Array) and len(latents.devices()) == 1:
-        latents = jax.device_put(latents, next(iter(latents.devices())))
+    latents = _commit_latents(init_latents)
     losses = []
     for it in range(optim_outer_loop):
         (loss, final), grad = grad_fn(latents, key)

@@ -42,6 +42,9 @@ class MusicLDMPipeline:
     operator: BaseOperator = field(default_factory=IdentityOperator)
     tokenizer: Optional[Callable] = None  # texts -> (ids, attention_mask)
     clap_audio_embed: Optional[Callable] = None  # waveform -> pooled 512-d
+    # waveform -> per-frame CLAP features (B, T', D); feeds the
+    # StyleGuidanceOperator gram matrix (reference operator.py:253-271)
+    clap_frame_embed: Optional[Callable] = None
     dtype: jnp.dtype = jnp.float32
     # device mesh for the num_waveforms_per_prompt batch axis (dp) and weight
     # output channels (tp); None = single device. GSPMD propagates the input
@@ -207,6 +210,30 @@ class MusicLDMPipeline:
         return lambda x, t: self._eps_fn(prompt_embeds, x, t, guidance_scale,
                                          unet_params)
 
+    # ------------------------------------------------- degenerate-CFG skip
+    @staticmethod
+    def _cfg_is_degenerate(prompt_embeds) -> bool:
+        """True when the CFG-stacked conditioning's uncond and cond halves are
+        IDENTICAL — e.g. empty prompt with empty negative prompt (the
+        reference CLI's default for every inverse-problem task, run.py:82-84).
+        Then uncond + s*(text - uncond) == text for any s, so the batch
+        doubling computes the same UNet row twice; skipping it is exact."""
+        def halves_equal(a):
+            a = np.asarray(a)
+            if a.ndim < 1 or a.shape[0] % 2 or a.shape[0] == 0:
+                return False
+            h = a.shape[0] // 2
+            return bool(np.array_equal(a[:h], a[h:]))
+        if isinstance(prompt_embeds, tuple):
+            return all(halves_equal(c) for c in prompt_embeds)
+        return halves_equal(prompt_embeds)
+
+    @staticmethod
+    def _cfg_cond_half(prompt_embeds):
+        if isinstance(prompt_embeds, tuple):
+            return tuple(c[c.shape[0] // 2:] for c in prompt_embeds)
+        return prompt_embeds[prompt_embeds.shape[0] // 2:]
+
     def _optim_prompt_split(self, prompt_embeds):
         """(differentiable part, rebuild fn) for prompt-embedding optimization."""
         return prompt_embeds, lambda d: d
@@ -255,6 +282,15 @@ class MusicLDMPipeline:
             prompt_embeds = self.encode_prompt(prompt, negative_prompt, do_cfg)
         if not isinstance(prompt_embeds, tuple):  # AudioLDM2 passes a stream tuple
             prompt_embeds = jnp.asarray(prompt_embeds, self.dtype)
+
+        # degenerate-CFG skip (EXACT): when uncond == cond conditioning (the
+        # reference CLI default: empty prompt, empty negative prompt), the CFG
+        # combine is the identity — run the UNet single-stream and halve the
+        # dominant per-step cost. Output is unchanged by construction.
+        if do_cfg and self._cfg_is_degenerate(prompt_embeds):
+            prompt_embeds = self._cfg_cond_half(prompt_embeds)
+            guidance_scale = 1.0
+            do_cfg = False
 
         # latents: width axis is the mel-bin axis (model_in_dim)
         batch = num_waveforms_per_prompt
@@ -328,19 +364,19 @@ class MusicLDMPipeline:
                 self._denoise_cache[static_key] = jax.jit(
                     jax.value_and_grad(loss_of_init, argnums=1, has_aux=True))
             grad_fn = self._denoise_cache[static_key]
-            # commit the initial latent: iteration >= 2 feeds back grad_fn's
-            # committed output, and jit keys committed/uncommitted arguments
-            # differently — uncommitted first input = the SAME program
-            # compiled twice per process (measured via duplicate
-            # jit_loss_of_init persistent-cache entries; see PERF_NOTES)
-            lat = latents
-            if isinstance(lat, jax.Array) and len(lat.devices()) == 1:
-                lat = jax.device_put(lat, next(iter(lat.devices())))
+            # see base._commit_latents: uncommitted/host first input = the
+            # SAME program compiled twice per process (PERF_NOTES)
+            from .base import _commit_latents
+            lat = _commit_latents(latents)
+            outer_losses = []
             for _ in range(optim_outer_loop):
                 (loss, final), grad = grad_fn(mparams, lat, scan_key,
                                               measurement, prompt_embeds)
+                outer_losses.append(loss)
                 lat = lat - ip_guidance_rate * grad
-            losses = jnp.asarray([loss])
+            # per-outer-iteration trajectory (reference tracks the same loss in
+            # its tqdm bar, scheduling_ditto.py:187-208)
+            losses = jnp.asarray(outer_losses)
         else:
             if static_key not in self._denoise_cache:
                 if needs_guidance and optim_prompt:
@@ -474,10 +510,16 @@ class MusicLDMPipeline:
                 mask[i, :len(row)] = 1
             return ids, mask
 
+        from ..models.clap_features import make_tiny_clap_audio_embeds
+        clap_audio_embed, clap_frame_embed = make_tiny_clap_audio_embeds(
+            jax.random.fold_in(k, 99))
+
         return cls(unet_cfg=unet_cfg, vae_cfg=vae_cfg, vocoder_cfg=voc_cfg,
                    text_cfg=txt_cfg, unet_params=unet_params,
                    vae_params=vae_params, vocoder_params=voc_params,
                    text_params=txt_params,
                    scheduler_name=scheduler_name,
                    operator=operator if operator is not None else IdentityOperator(),
-                   tokenizer=byte_tokenizer)
+                   tokenizer=byte_tokenizer,
+                   clap_audio_embed=clap_audio_embed,
+                   clap_frame_embed=clap_frame_embed)

@@ -109,10 +109,26 @@ def build_operator(args, config, noiser):
         op = MusicDereverberationOperator(ir_length=5000, decay_factor=0.99,
                                           noiser=noiser)
     elif task == STYLE_GUIDANCE:
-        op = IdentityOperator(sample_rate=config.data.sample_rate)
+        # clap_embed is bound after load_pipeline from the pipeline's HTSAT
+        # tower (the reference's style_guidance path is dead — run.py:213-214
+        # raises; operator.py:253-271 is never constructed. Wired here.)
+        op = StyleGuidanceOperator(noiser=noiser)
     else:
         raise ValueError(f"Unknown task: {task}")
     return op, downsample_scale
+
+
+def bind_style_guidance(pipe, operator):
+    """Attach the pipeline's CLAP frame-feature tower to the style operator so
+    the guided loss is the gram-matrix style distance (operator.py:253-271)."""
+    from dataclasses import replace
+    if getattr(pipe, "clap_frame_embed", None) is None:
+        raise SystemExit(
+            "style_guidance needs a CLAP audio tower: this checkpoint's "
+            "text_encoder has no audio_model weights")
+    operator = replace(operator, clap_embed=pipe.clap_frame_embed)
+    pipe.operator = operator
+    return operator
 
 
 def load_pipeline(args, config, operator):
@@ -152,10 +168,12 @@ def main() -> None:
     from diffmusic_tpu.data import get_dataset, get_dataloader, write_wav
     from diffmusic_tpu.pipelines import save_mel_spectrogram
 
-    # cwd-relative configs/ (the reference's convention, run.py:147-151) when it
-    # exists, else the tree shipped next to this file — so the CLI works from
-    # any working directory
-    cfg_path = CONFIG_PATH if Path(CONFIG_PATH).is_dir() \
+    # cwd-relative configs/ (the reference's convention, run.py:147-151) only
+    # when it actually holds the requested scheduler yaml — an unrelated
+    # configs/ dir in the working directory must not shadow the tree shipped
+    # next to this file
+    cfg_path = CONFIG_PATH if Path(CONFIG_PATH,
+                                   f"{args.config_name}.yaml").is_file() \
         else str(Path(__file__).resolve().parent / CONFIG_PATH)
     config = compose(config_name=args.config_name, overrides=[
         f"data={args.datasets}", f"model={args.model}", *args.override],
@@ -174,6 +192,8 @@ def main() -> None:
     noiser = get_noiser(**config.inverse_problem.noise)
     operator, downsample_scale = build_operator(args, config, noiser)
     pipe = load_pipeline(args, config, operator)
+    if args.task == STYLE_GUIDANCE:
+        operator = bind_style_guidance(pipe, operator)
     pipe.mesh = parse_mesh(args.mesh)
 
     audio_length_in_s = config.model.pipe.audio_length_in_s

