@@ -29,79 +29,89 @@ NUM_STEPS = 200
 AUDIO_S = 10.0
 
 
-def guidance_evidence(pipe, lat_shape, n_steps: int = 50):
-    """Reconstruction evidence at FULL latent geometry (VERDICT r1 item 6).
-
-    The timed run above uses random model weights, where the decoder Jacobian
-    is near-zero and DPS's reference-scale rate (5e-4, configs/dps.yaml)
-    cannot visibly move the loss — so guided-sampler correctness is shown
-    here the way tests/test_samplers.py::test_full_scan_recovers_measurement
-    does at toy scale: an eps-predictor anchored at a masked latent-space
-    measurement, scanned at the real (1, 8, 250, 16) geometry. The loss
-    trajectory must DECREASE and the observed region must match y.
+def full_chain_evidence(n_steps: int = 20, audio_s: float = 10.0):
+    """Reconstruction evidence through the REAL decode chain (VERDICT r2
+    item 2): tiny-channel real modules at the FULL 10-s time geometry, where
+    the measurement is produced by the SAME chain guidance differentiates
+    (VAE decode -> HiFi-GAN -> mask -> mel) and the ground truth is a DDIM
+    sample from the same model (so it lies on the output manifold — random
+    weights cannot hallucinate masked content, so recovery is judged by the
+    measurement-consistency loss, which guidance acts on). No toy-predictor
+    substitution: this runs the production MusicLDMPipeline path.
     """
-    from diffmusic_tpu.samplers import SamplerConfig, make_step_fn
+    from diffmusic_tpu.inverse_problem import MusicInpaintingOperator
+    from diffmusic_tpu.pipelines import MusicLDMPipeline
 
-    sched = pipe.schedule
-    key = jax.random.key(11)
-    k1, k2, k3 = jax.random.split(key, 3)
-    x_true = jax.random.normal(k1, lat_shape)
-    mask = (jax.random.uniform(k2, lat_shape) < 0.6).astype(jnp.float32)
-    y = x_true * mask
+    # correctness demonstration, not a perf number: pin it to the host CPU
+    # backend so its ~8 tiny programs don't ride the remote-compile tunnel
+    # (10-60 s per program) during the timed bench
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        return _full_chain_evidence_impl(n_steps, audio_s)
 
-    def loss_fn(x0):
-        return jnp.linalg.norm((y - x0) * mask)
 
-    ts = jnp.asarray(sched.timesteps(n_steps))
+def _full_chain_evidence_impl(n_steps: int, audio_s: float):
+    from diffmusic_tpu.inverse_problem import MusicInpaintingOperator
+    from diffmusic_tpu.pipelines import MusicLDMPipeline
 
-    def scan_with(name, eta, rate):
-        cfg = SamplerConfig(name=name, eta=eta, ip_guidance_rate=rate,
-                            num_inference_steps=n_steps)
-        step = make_step_fn(sched, cfg, loss_fn)
+    op = MusicInpaintingOperator(audio_length_in_s=audio_s, sample_rate=16000,
+                                 mask_type="box", start_inpainting_s=4.0,
+                                 end_inpainting_s=6.0)
+    gen = MusicLDMPipeline.tiny("ddim")
+    gt = jnp.asarray(gen(prompt="", audio_length_in_s=audio_s,
+                         num_inference_steps=6,
+                         key=jax.random.key(42)).audios)
+    meas = op.forward(gt)
+    unguided = gen(prompt="", audio_length_in_s=audio_s,
+                   num_inference_steps=n_steps, eta=1.0,
+                   key=jax.random.key(1)).audios
 
-        @jax.jit
-        def run(x_init, key):
-            def model(xt, t):
-                # uninformative xt-dependent predictor x0_hat = sqrt(a)*x_t
-                # (eps = sqrt(1-a)*x_t): guidance is the ONLY force pulling
-                # the trajectory toward y, so a decreasing loss demonstrates
-                # the guided update, not the predictor. (An anchored
-                # predictor makes the loss identically ~0 — no evidence.)
-                a = sched.alpha_prod(t)
-                return (1 - a) ** 0.5 * xt
+    def consistency(audio):
+        pred = op.transform(op.forward(jnp.asarray(audio)))
+        return float(jnp.linalg.norm(op.transform(meas) - pred))
 
-            def body(carry, t):
-                xt, k = carry
-                k, sub = jax.random.split(k)
-                prev, _x0, loss = step(model(xt, t), t, xt, sub)
-                return (prev, k), loss
-
-            (xf, _), ls = jax.lax.scan(body, (x_init, key), ts)
-            return xf, ls
-
-        xf, ls = run(jax.random.normal(k3, lat_shape), jax.random.key(12))
-        ls = np.asarray(ls)
-        obs_err = float(jnp.linalg.norm((xf - y) * mask))
-        assert ls[-1] < ls[0], \
-            f"{name}: guidance evidence not decreasing: {ls[:3]}...{ls[-3:]}"
-        return {
+    d_unguided = consistency(unguided)
+    out = {"time_geometry_s": audio_s,
+           "unguided_consistency": round(d_unguided, 2)}
+    for name, eta, rate in [("diffmusic", 1.0, 0.5), ("dps", 0.0, 0.3)]:
+        pipe = MusicLDMPipeline.tiny(name, operator=op)
+        res, losses = pipe(prompt="", audio_length_in_s=audio_s,
+                           num_inference_steps=n_steps, eta=eta,
+                           ip_guidance_rate=rate, measurement=meas,
+                           return_losses=True, key=jax.random.key(1))
+        ls = np.asarray(losses)
+        assert ls[-3:].mean() < ls[:3].mean(), \
+            f"{name}: full-chain loss not decreasing: {ls[:3]}...{ls[-3:]}"
+        out[name] = {
             "rate": rate,
             "loss_first": round(float(ls[0]), 2),
             "loss_final": round(float(ls[-1]), 2),
-            "masked_obs_err": round(obs_err, 2),
-            "decreasing": bool(ls[-1] < ls[0]),
+            "decreasing": True,
+            "final_consistency": round(consistency(res.audios), 2),
+            "beats_unguided": bool(consistency(res.audios) < d_unguided),
         }
+    return out
 
-    # DiffMusic (the reference's own sampler, slerp noise/guidance mixing —
-    # scheduling_diffmusic.py:212-223) drives the masked residual down 94%;
-    # DPS's 1/sqrt(alpha) gradient amplification limits its stable rate with
-    # a unit-Jacobian toy chain, so its trajectory decreases more modestly.
-    return {
-        "geometry": list(lat_shape),
-        "measurement_norm": round(float(jnp.linalg.norm(y)), 2),
-        "diffmusic": scan_with("diffmusic", 1.0, 0.5),
-        "dps": scan_with("dps", 0.0, 0.3),
-    }
+
+def family_coverage():
+    """Secondary machine-readable metrics for the other families/modes
+    (VERDICT r2 item 6): AudioLDM2 guided step, DITTO outer loop,
+    StableAudio DiT step — so a regression in any family shows up in the
+    BENCH artifact, not only in commit-message lore. Each is full-scale on
+    the real chip; failures are reported, never fatal to the headline."""
+    import importlib
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    out = {}
+    for key, mod, args in [
+            ("audioldm2_guided", "check_audioldm2_step", (50,)),
+            ("ditto", "check_ditto_step", (2,)),
+            ("stable_audio", "check_stable_audio_step", (50, 10.0))]:
+        try:
+            out[key] = importlib.import_module(mod).main(*args)
+        except Exception as e:  # noqa: BLE001 — report, don't kill the bench
+            out[key] = {"error": f"{type(e).__name__}: {e}"}
+    return out
 
 
 def main(compute_dtype=jnp.bfloat16):
@@ -132,8 +142,16 @@ def main(compute_dtype=jnp.bfloat16):
     cfg = SamplerConfig(name="dps", eta=0.0, ip_guidance_rate=5e-4,
                         num_inference_steps=NUM_STEPS)
     cls_dim = pipe.unet_cfg.projection_class_embeddings_input_dim
-    prompt_embeds = jnp.zeros((2, cls_dim), compute_dtype)
     guidance_scale = 2.0
+    # degenerate-CFG skip (EXACT, mirrors pipelines/musicldm.py): the
+    # reference CLI's inverse-problem default is an empty prompt AND empty
+    # negative prompt, whose CLAP embeddings are identical — then
+    # uncond + s*(text - uncond) == text for any s and the batch doubling
+    # computes the same UNet row twice. Single-stream output is unchanged
+    # by construction. DIFFMUSIC_TPU_CFG2=1 forces the doubled program (A/B).
+    cfg_doubled = os.environ.get("DIFFMUSIC_TPU_CFG2") == "1"
+    prompt_embeds = jnp.zeros((2 if cfg_doubled else 1, cls_dim),
+                              compute_dtype)
     scaling = pipe.vae_cfg.scaling_factor
     timesteps = jnp.asarray(pipe.schedule.timesteps(NUM_STEPS))
 
@@ -144,6 +162,10 @@ def main(compute_dtype=jnp.bfloat16):
         unet_p, vae_p, voc_p = params
 
         def model_fn(x, t):
+            if not cfg_doubled:
+                eps = pipe.unet.apply(unet_p, x.astype(compute_dtype), t,
+                                      class_labels=prompt_embeds)
+                return eps.astype(jnp.float32)
             x_in = jnp.concatenate([x, x], axis=0).astype(compute_dtype)
             eps = pipe.unet.apply(unet_p, x_in, t, class_labels=prompt_embeds)
             uncond, text = jnp.split(eps.astype(jnp.float32), 2, axis=0)
@@ -212,7 +234,9 @@ def main(compute_dtype=jnp.bfloat16):
 
     rel_residual = float(consistency(params, final))
     curve = [round(float(v), 2) for v in losses[::max(1, NUM_STEPS // 10)]]
-    evidence = guidance_evidence(pipe, lat_shape)
+    evidence = full_chain_evidence()
+    families = {} if os.environ.get("DIFFMUSIC_TPU_BENCH_FAMILIES") == "0" \
+        else family_coverage()
 
     result = {
         "metric": "dps_200step_10s_inpainting_wall_clock",
@@ -221,6 +245,10 @@ def main(compute_dtype=jnp.bfloat16):
         "vs_baseline": round(BASELINE_WALL_S / wall, 3),
         "detail": {
             "device": str(jax.devices()[0]),
+            "cfg_mode": ("doubled" if cfg_doubled else
+                         "degenerate-skip (exact: empty prompt == empty "
+                         "negative prompt => identical CLAP embeddings => "
+                         "CFG combine is the identity)"),
             "compile_and_first_run_s": round(compile_and_first_run_s, 1),
             "timed_runs_s": [round(w, 3) for w in walls],
             "seconds_of_audio_per_sec_per_chip": round(AUDIO_S / wall, 3),
@@ -230,7 +258,8 @@ def main(compute_dtype=jnp.bfloat16):
             "loss_reduction": round(float(losses[0] / max(losses[-1], 1e-9)),
                                     3),
             "consistency_rel_residual": round(rel_residual, 4),
-            "guidance_evidence_full_geometry": evidence,
+            "full_chain_reconstruction": evidence,
+            "families": families,
         },
     }
     print(json.dumps(result))

@@ -51,6 +51,37 @@ def _cfg(module_dir: Path) -> Dict:
         return json.load(f)
 
 
+class TrackingStateDict(dict):
+    """State dict that records which keys a converter consumed — first contact
+    with a real checkpoint must FAIL LOUDLY if any weight goes unmapped
+    (silently dropped weights are the classic from_pretrained footgun;
+    reference equivalent: diffusers' own missing/unexpected-keys report)."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+    # torch artifacts that carry no convertible weight
+    IGNORE_SUBSTRINGS = ("num_batches_tracked", "position_ids",
+                         "rotary_emb.inv_freq", "attn.masked_bias",
+                         "attn.bias", "logit_scale")
+
+    def assert_all_consumed(self, what: str, extra_ignore=()):
+        ignore = self.IGNORE_SUBSTRINGS + tuple(extra_ignore)
+        leftover = sorted(
+            k for k in self if k not in self.consumed
+            and not any(s in k for s in ignore))
+        if leftover:
+            raise ValueError(
+                f"{what}: {len(leftover)} checkpoint keys were NOT consumed "
+                f"by the converter (weights would be silently dropped): "
+                f"{leftover[:12]}{' ...' if len(leftover) > 12 else ''}")
+
+
 # --------------------------------------------------------------------- configs
 
 def unet_config_from_json(c: Dict) -> UNetConfig:
@@ -189,7 +220,9 @@ def _transformer2d(sd, p, depth, n_cross):
     return out
 
 
-def convert_unet(sd: Dict[str, np.ndarray], cfg: UNetConfig) -> Dict:
+def convert_unet(sd: Dict[str, np.ndarray], cfg: UNetConfig,
+                 strict: bool = True) -> Dict:
+    sd = TrackingStateDict(sd)
     n_cross = len(cfg.cross_attention_dims)
     p: Dict = {
         "conv_in": {"kernel": convert.conv2d(sd["conv_in.weight"]),
@@ -242,10 +275,14 @@ def convert_unet(sd: Dict[str, np.ndarray], cfg: UNetConfig) -> Dict:
                 "kernel": convert.conv2d(sd[f"up_blocks.{i}.upsamplers.0.conv.weight"]),
                 "bias": sd[f"up_blocks.{i}.upsamplers.0.conv.bias"]}}
         p[f"up_{i}"] = blk
+    if strict:
+        sd.assert_all_consumed("convert_unet")
     return {"params": p}
 
 
-def convert_vae(sd: Dict[str, np.ndarray], cfg: VAEConfig) -> Dict:
+def convert_vae(sd: Dict[str, np.ndarray], cfg: VAEConfig,
+                strict: bool = True) -> Dict:
+    sd = TrackingStateDict(sd)
     def vae_attn(pfx):
         # newer diffusers: to_q/to_k/to_v/to_out.0; older: query/key/value/proj_attn
         if f"{pfx}.to_q.weight" in sd:
@@ -311,6 +348,8 @@ def convert_vae(sd: Dict[str, np.ndarray], cfg: VAEConfig) -> Dict:
                     sd[f"decoder.up_blocks.{i}.upsamplers.0.conv.weight"]),
                 "bias": sd[f"decoder.up_blocks.{i}.upsamplers.0.conv.bias"]}}
 
+    if strict:
+        sd.assert_all_consumed("convert_vae")
     return {"params": {"encoder": enc, "decoder": dec}}
 
 

@@ -94,11 +94,17 @@ def tiny_clap_feature_config() -> ClapFeatureConfig:
                              frequency_max=8000.0, max_length_s=1.0)
 
 
-def make_tiny_clap_audio_embeds(key):
+def make_tiny_clap_audio_embeds(key, projection_dim: int = None):
     """Random tiny HTSAT tower -> (pooled embed, frame embed) callables, the
-    CLAP-audio fake backend for MusicLDMPipeline.tiny/AudioLDM2Pipeline.tiny."""
+    CLAP-audio fake backend for MusicLDMPipeline.tiny/AudioLDM2Pipeline.tiny.
+    projection_dim must match the tiny CLAP TEXT tower's (real CLAP shares
+    one 512-d joint space; prompt_type='clap' feeds the audio embedding where
+    the text embedding would go, plpeline_audioldm2.py:469-481)."""
+    from dataclasses import replace
     from .htsat import ClapAudioModelWithProjection, tiny_clap_audio_config
     a_cfg = tiny_clap_audio_config()
+    if projection_dim is not None:
+        a_cfg = replace(a_cfg, projection_dim=projection_dim)
     f_cfg = tiny_clap_feature_config()
     tower = ClapAudioModelWithProjection(a_cfg)
     params = tower.init(key, jnp.zeros((1, 1, 8, a_cfg.num_mel_bins)))

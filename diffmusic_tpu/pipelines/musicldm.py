@@ -512,7 +512,7 @@ class MusicLDMPipeline:
 
         from ..models.clap_features import make_tiny_clap_audio_embeds
         clap_audio_embed, clap_frame_embed = make_tiny_clap_audio_embeds(
-            jax.random.fold_in(k, 99))
+            jax.random.fold_in(k, 99), projection_dim=txt_cfg.projection_dim)
 
         return cls(unet_cfg=unet_cfg, vae_cfg=vae_cfg, vocoder_cfg=voc_cfg,
                    text_cfg=txt_cfg, unet_params=unet_params,

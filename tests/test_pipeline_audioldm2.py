@@ -52,9 +52,20 @@ class TestAudioLDM2Tiny:
 
     def test_clap_prompt_type_requires_audio_tower(self, measurement):
         pipe = AudioLDM2Pipeline.tiny("ddim")
+        pipe.clap_audio_embed = None  # tiny now ships a tower; drop it
         with pytest.raises(ValueError, match="clap"):
             pipe(prompt="x", audio_length_in_s=0.4, num_inference_steps=2,
                  prompt_type="clap", measurement=measurement)
+
+    def test_clap_prompt_type_runs_with_tiny_tower(self, measurement):
+        """prompt_type='clap': CLAP AUDIO features of the measurement replace
+        the text features (reference plpeline_audioldm2.py:469-481); the tiny
+        pipeline ships a tiny HTSAT tower, so the path runs end-to-end."""
+        pipe = AudioLDM2Pipeline.tiny("ddim")
+        out = pipe(prompt="x", audio_length_in_s=0.4, num_inference_steps=2,
+                   prompt_type="clap", measurement=measurement,
+                   key=jax.random.key(0))
+        assert np.isfinite(out.audios).all()
 
     def test_score_waveforms_ranks_by_clap_similarity(self):
         """CLAP text-audio re-ranking (reference plpeline_audioldm2.py:721-738;
@@ -83,5 +94,6 @@ class TestAudioLDM2Tiny:
 
     def test_score_waveforms_requires_audio_tower(self):
         pipe = AudioLDM2Pipeline.tiny("ddim")
+        pipe.clap_audio_embed = None  # tiny now ships a tower; drop it
         with pytest.raises(ValueError, match="clap_audio_embed"):
             pipe.score_waveforms("x", jnp.zeros((2, 100)))

@@ -73,7 +73,7 @@ class TestMusicLDMTiny:
         with pytest.raises(ValueError, match="measurement"):
             pipe(prompt="", audio_length_in_s=0.4, num_inference_steps=2)
 
-    def test_ditto_outer_loop_reduces_loss(self, inpaint_op, measurement):
+    def test_ditto_runs_finite(self, inpaint_op, measurement):
         pipe = MusicLDMPipeline.tiny("ditto", operator=inpaint_op)
         out = pipe(prompt="", audio_length_in_s=0.4, num_inference_steps=2,
                    eta=1.0, ip_guidance_rate=0.5, optim_outer_loop=2,
@@ -145,6 +145,31 @@ class TestMusicLDMTiny:
         assert np.isfinite(out.audios).all()
         assert np.asarray(losses).dtype == np.float32
         assert np.isfinite(np.asarray(losses, np.float64)).all()
+
+    def test_degenerate_cfg_skip_is_exact(self, inpaint_op, measurement):
+        """Empty prompt == empty negative prompt makes the CFG combine the
+        identity; the single-stream fast path must produce the same audio as
+        the explicit CFG-doubled program (uncond + s*(text-uncond) == text
+        when text == uncond)."""
+        pipe = MusicLDMPipeline.tiny("diffmusic", operator=inpaint_op)
+        fast = pipe(prompt="", audio_length_in_s=0.4, num_inference_steps=3,
+                    eta=1.0, ip_guidance_rate=0.1, guidance_scale=2.0,
+                    measurement=measurement, key=jax.random.key(6)).audios
+
+        pipe2 = MusicLDMPipeline.tiny("diffmusic", operator=inpaint_op)
+        pipe2._cfg_is_degenerate = lambda pe: False  # force the doubled path
+        slow = pipe2(prompt="", audio_length_in_s=0.4, num_inference_steps=3,
+                     eta=1.0, ip_guidance_rate=0.1, guidance_scale=2.0,
+                     measurement=measurement, key=jax.random.key(6)).audios
+        np.testing.assert_allclose(fast, slow, atol=2e-5)
+
+    def test_distinct_prompts_keep_cfg(self, inpaint_op, measurement):
+        """A real prompt vs empty negative must still run CFG-doubled (the
+        skip only fires on identical halves)."""
+        pipe = MusicLDMPipeline.tiny("ddim")
+        emb = pipe.encode_prompt("techno", None, True)
+        assert not pipe._cfg_is_degenerate(emb)
+        assert pipe._cfg_is_degenerate(pipe.encode_prompt("", None, True))
 
     def test_bad_supervised_space(self, inpaint_op, measurement):
         pipe = MusicLDMPipeline.tiny("diffmusic", operator=inpaint_op)

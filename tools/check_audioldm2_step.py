@@ -128,6 +128,8 @@ def main(steps: int = 20):
     print(f"audioldm2 {steps}-step guided scan OK  "
           f"compile+1st={compile_s:.1f}s  per-step={wall / steps * 1e3:.1f} ms",
           flush=True)
+    return {"steps": steps, "compile_and_first_s": round(compile_s, 1),
+            "ms_per_step": round(wall / steps * 1e3, 1)}
 
 
 if __name__ == "__main__":

@@ -56,6 +56,9 @@ def main(outer: int = 2):
           f"cold={walls[0]:.1f}s warm={walls[1]:.1f}s "
           f"({walls[1] / outer:.2f} s/outer steady)  "
           f"loss={float(np.asarray(losses).ravel()[-1]):.1f}", flush=True)
+    return {"outer": outer, "inner_steps": 20,
+            "cold_s": round(walls[0], 1),
+            "s_per_outer_steady": round(walls[1] / outer, 2)}
 
 
 if __name__ == "__main__":

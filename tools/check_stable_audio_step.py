@@ -79,6 +79,9 @@ def main(steps: int = 10, seconds: float = 5.0):
           f"cold={walls[0]:.1f}s warm={walls[1]:.1f}s "
           f"({1e3 * walls[1] / steps:.1f} ms/step steady)  "
           f"audio={audio.shape}", flush=True)
+    return {"steps": steps, "seconds": seconds,
+            "cold_s": round(walls[0], 1),
+            "ms_per_step_steady": round(1e3 * walls[1] / steps, 1)}
 
 
 if __name__ == "__main__":
