@@ -29,7 +29,10 @@ NUM_STEPS = 200
 AUDIO_S = 10.0
 
 
-def full_chain_evidence(n_steps: int = 20, audio_s: float = 10.0):
+def full_chain_evidence(n_steps: int = 20, audio_s: float = 5.0):
+    # audio_s=5.0 on the tiny pipe (vae scale 2) gives latent time T=250 —
+    # exactly the REAL MusicLDM 10-s latent geometry (1, 8, 250, .) at
+    # scale 4, so the scan runs the full-size time axis.
     """Reconstruction evidence through the REAL decode chain (VERDICT r2
     item 2): tiny-channel real modules at the FULL 10-s time geometry, where
     the measurement is produced by the SAME chain guidance differentiates
@@ -42,12 +45,12 @@ def full_chain_evidence(n_steps: int = 20, audio_s: float = 10.0):
     from diffmusic_tpu.inverse_problem import MusicInpaintingOperator
     from diffmusic_tpu.pipelines import MusicLDMPipeline
 
-    # correctness demonstration, not a perf number: pin it to the host CPU
-    # backend so its ~8 tiny programs don't ride the remote-compile tunnel
-    # (10-60 s per program) during the timed bench
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        return _full_chain_evidence_impl(n_steps, audio_s)
+    # correctness demonstration, not a perf number. It runs on the DEFAULT
+    # backend: on the TPU its ~7 tiny programs compile in ~10-40 s each
+    # through the tunnel and execute in milliseconds; the measured CPU
+    # alternative is far worse (349 s for ONE 20-step tiny guided scan at
+    # this geometry — XLA CPU compile dominates).
+    return _full_chain_evidence_impl(n_steps, audio_s)
 
 
 def _full_chain_evidence_impl(n_steps: int, audio_s: float):
@@ -55,8 +58,9 @@ def _full_chain_evidence_impl(n_steps: int, audio_s: float):
     from diffmusic_tpu.pipelines import MusicLDMPipeline
 
     op = MusicInpaintingOperator(audio_length_in_s=audio_s, sample_rate=16000,
-                                 mask_type="box", start_inpainting_s=4.0,
-                                 end_inpainting_s=6.0)
+                                 mask_type="box",
+                                 start_inpainting_s=audio_s * 0.4,
+                                 end_inpainting_s=audio_s * 0.6)
     gen = MusicLDMPipeline.tiny("ddim")
     gt = jnp.asarray(gen(prompt="", audio_length_in_s=audio_s,
                          num_inference_steps=6,
