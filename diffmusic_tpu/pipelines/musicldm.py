@@ -157,6 +157,16 @@ class MusicLDMPipeline:
 
         The guidance chain of scheduling_dps.py:195-211: VAE decode -> vocoder ->
         crop -> operator.forward -> (optional mel transform) -> Frobenius norm.
+
+        Batch semantics: the norm is PER CLIP, summed over the batch. At the
+        reference's batch size (always 1, run.py:249) this is identical to the
+        joint Frobenius norm; for batch > 1 (num_waveforms_per_prompt, or clips
+        dp-sharded over a mesh) it keeps each clip's guidance gradient
+        grad_b = r_b / ||r_b|| independent of the other clips — a joint norm
+        would rescale every clip's gradient by ||r_b||/||r_joint||, diluting
+        guidance for clips that are already consistent. This makes a dp-batched
+        DPS run exactly equal to independent single-clip runs
+        (tools/dryrun_dp_batch.py proves it on a virtual mesh).
         """
         op = self.operator
         vae_params = params["vae"] if params is not None else None
@@ -181,7 +191,9 @@ class MusicLDMPipeline:
                 diff = target - op.transform(pred)
             else:
                 diff = target - pred
-            return jnp.linalg.norm(diff)
+            per_clip = jnp.sqrt(jnp.sum(
+                jnp.square(diff.reshape(diff.shape[0], -1)), axis=1))
+            return jnp.sum(per_clip)
 
         return loss_fn
 

@@ -109,6 +109,38 @@ class TestProductMeshWiring:
             np.testing.assert_allclose(ea, eb, rtol=1e-4, atol=1e-5)
 
 
+class TestDpBatchingStory:
+    """VERDICT r2 item 10: dp over the mesh is the documented batching story
+    (single-chip batching measured 4.8x cost for 4x work — bench_batched.py).
+    The guided DPS scan with the per-clip-summed loss must be EXACTLY
+    embarrassingly parallel: a dp-batched run equals independent runs, and the
+    compiled program's only cross-dp collective is the scalar loss reduction."""
+
+    def test_dp2_guided_scan_equals_independent_runs(self):
+        from tools.dryrun_dp_batch import main
+        out = main(2)
+        assert out["equal_to_independent_runs"]
+        # the loss psum is a handful of scalars; anything tensor-sized means
+        # a clip-coupling op crept into the scan body
+        assert out["cross_dp_collective_elements"] < 64, out
+
+    def test_per_clip_loss_sum_matches_joint_norm_at_batch_1(self, rng):
+        from diffmusic_tpu.pipelines.musicldm import MusicLDMPipeline
+        pipe = MusicLDMPipeline.tiny()
+        meas = jnp.asarray(rng.standard_normal((1, 6400)).astype(np.float32))
+        loss_fn = pipe.make_loss_fn(meas, 6400, "mel_spectrogram")
+        lat = jnp.asarray(rng.standard_normal((1, 8, 20, 32)).astype(np.float32))
+        # batch-1: sum of per-clip norms == joint Frobenius norm (reference
+        # scheduling_dps.py:211 semantics)
+        op = pipe.operator
+        mel = pipe.decode_mel(lat)
+        audio = op.inverse_transform(mel, pipe._vocoder_fn())[:, :6400]
+        joint = float(jnp.linalg.norm(
+            op.transform(meas) - op.transform(op.forward(
+                audio.astype(jnp.float32)))))
+        np.testing.assert_allclose(float(loss_fn(lat)), joint, rtol=1e-5)
+
+
 class TestGraftEntry:
     def test_dryrun_multichip_8(self):
         import __graft_entry__

@@ -1,9 +1,16 @@
 """Incremental TPU compile/runtime probe: measure each hot component separately
 before attempting the full 200-step guided scan. Usage:
   python tools/profile_compile.py [stage]
-stages: unet, vae, vocoder, loss, step, scan20
+stages: unet, vae, vocoder, loss, step, scan20, table
+
+`table` (VERDICT r2 item 9) attributes the bench's cold-start compile
+program-by-program: it compiles the 200-step scan in cumulative variants
+(unet-only DDIM -> +VAE-decode guidance -> full VAE+vocoder guidance) plus the
+small side programs, with the persistent cache DISABLED so every number is a
+true cold compile, and prints a JSON table of (program, compile_s, delta_s).
 """
 
+import json
 import sys
 import time
 
@@ -26,7 +33,112 @@ def timed(name, fn, *args):
     return out
 
 
+def compile_table():
+    """Cold-compile attribution of the headline bench program (scan of 200
+    guided steps at MusicLDM 10-s scale, bf16 weights, degenerate-CFG
+    single-stream — the exact bench.py geometry)."""
+    sys.path.insert(0, ".")
+    import __graft_entry__
+    from diffmusic_tpu.samplers import SamplerConfig, make_step_fn
+    from diffmusic_tpu.models.vae import AutoencoderKL
+
+    pipe, op, lat_shape, owl, audio_s = __graft_entry__._flagship(tiny=False)
+    compute_dtype = jnp.bfloat16
+    cast = lambda tree: jax.tree.map(
+        lambda x: x.astype(compute_dtype)
+        if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x, tree)
+    params = (cast(pipe.unet_params), cast(pipe.vae_params),
+              cast(pipe.vocoder_params))
+    cls_dim = pipe.unet_cfg.projection_class_embeddings_input_dim
+    prompt_embeds = jnp.zeros((1, cls_dim), compute_dtype)
+    scaling = pipe.vae_cfg.scaling_factor
+    timesteps = jnp.asarray(pipe.schedule.timesteps(200))
+    measurement = op.forward(jnp.zeros((1, owl)))
+    target_mel = op.transform(measurement)
+    latents = jax.random.normal(jax.random.key(0), lat_shape)
+
+    def make_scan(loss_kind: str):
+        name = "ddim" if loss_kind == "none" else "dps"
+        cfg = SamplerConfig(name=name, eta=0.0, ip_guidance_rate=5e-4,
+                            num_inference_steps=200)
+
+        def scan(params, target_mel, lat, key):
+            unet_p, vae_p, voc_p = params
+
+            def model_fn(x, t):
+                eps = pipe.unet.apply(unet_p, x.astype(compute_dtype), t,
+                                      class_labels=prompt_embeds)
+                return eps.astype(jnp.float32)
+
+            def loss_fn(x0_latent):
+                mel = pipe.vae.apply(
+                    vae_p, (x0_latent / scaling).astype(compute_dtype),
+                    method=AutoencoderKL.decode)
+                if loss_kind == "vae_only":
+                    # guidance grad stops at the VAE decode; the target is
+                    # irrelevant for COMPILE cost — only the differentiated
+                    # graph matters
+                    return jnp.linalg.norm(mel.astype(jnp.float32))
+                audio = op.inverse_transform(
+                    mel, lambda m: pipe.vocoder.apply(voc_p, m))
+                pred = op.forward(audio[:, :owl].astype(jnp.float32))
+                return jnp.linalg.norm(target_mel - op.transform(pred))
+
+            step_fn = make_step_fn(pipe.schedule, cfg,
+                                   None if loss_kind == "none" else loss_fn)
+
+            def body(carry, t):
+                x, k = carry
+                k, sub = jax.random.split(k)
+                eps = model_fn(x, t)
+                prev, _x0, loss = step_fn(eps, t, x, sub)
+                return (prev, k), loss
+
+            (final, _), losses = jax.lax.scan(body, (latents, key), timesteps)
+            return final, losses
+        return scan
+
+    rows = []
+    prev_s = 0.0
+    for name, kind in [("scan200_unet_ddim", "none"),
+                       ("scan200_dps_vae_guidance", "vae_only"),
+                       ("scan200_dps_full_guidance", "full")]:
+        fn = jax.jit(make_scan(kind))
+        t0 = time.time()
+        lowered = fn.lower(params, target_mel, latents, jax.random.key(1))
+        t_lower = time.time() - t0
+        t0 = time.time()
+        compiled = lowered.compile()
+        t_compile = time.time() - t0
+        rows.append({"program": name, "lower_s": round(t_lower, 1),
+                     "compile_s": round(t_compile, 1),
+                     "delta_vs_prev_s": round(t_compile - prev_s, 1)})
+        prev_s = t_compile
+        print(json.dumps(rows[-1]), flush=True)
+
+    # side programs the bench/product also compiles
+    vae_dec = jax.jit(lambda p, z: pipe.vae.apply(
+        p, (z / scaling).astype(compute_dtype), method=AutoencoderKL.decode))
+    voc = jax.jit(lambda p, m: pipe.vocoder.apply(p, m[:, 0]))
+    for name, fn, args in [
+            ("vae_decode_fwd", vae_dec, (params[1], latents)),
+            ("vocoder_fwd", voc,
+             (params[2], jnp.zeros((1, 1, lat_shape[2] * 4, 64),
+                                   compute_dtype)))]:
+        t0 = time.time()
+        fn.lower(*args).compile()
+        rows.append({"program": name,
+                     "compile_s": round(time.time() - t0, 1)})
+        print(json.dumps(rows[-1]), flush=True)
+    print(json.dumps({"table": rows}))
+    return rows
+
+
 def main(stage="all"):
+    if stage == "table":
+        # force true cold numbers: no persistent cache for this process
+        jax.config.update("jax_enable_compilation_cache", False)
+        return compile_table()
     sys.path.insert(0, ".")
     import __graft_entry__
     from diffmusic_tpu.samplers import SamplerConfig, make_step_fn

@@ -40,7 +40,10 @@ def build_sample(steps: int):
     cfg = SamplerConfig(name="dps", eta=0.0, ip_guidance_rate=5e-4,
                         num_inference_steps=steps)
     cls_dim = pipe.unet_cfg.projection_class_embeddings_input_dim
-    prompt_embeds = jnp.zeros((2, cls_dim), jnp.bfloat16)
+    # mirror bench.py's degenerate-CFG default (single-stream UNet);
+    # DIFFMUSIC_TPU_CFG2=1 traces the doubled program instead
+    cfg_doubled = os.environ.get("DIFFMUSIC_TPU_CFG2") == "1"
+    prompt_embeds = jnp.zeros((2 if cfg_doubled else 1, cls_dim), jnp.bfloat16)
     scaling = pipe.vae_cfg.scaling_factor
     ts = jnp.asarray(pipe.schedule.timesteps(steps))
 
@@ -49,6 +52,10 @@ def build_sample(steps: int):
         up, vp, wp = params
 
         def model_fn(x, t):
+            if not cfg_doubled:
+                eps = pipe.unet.apply(up, x.astype(jnp.bfloat16), t,
+                                      class_labels=prompt_embeds)
+                return eps.astype(jnp.float32)
             x_in = jnp.concatenate([x, x], axis=0).astype(jnp.bfloat16)
             eps = pipe.unet.apply(up, x_in, t, class_labels=prompt_embeds)
             unc, txt = jnp.split(eps.astype(jnp.float32), 2, axis=0)
