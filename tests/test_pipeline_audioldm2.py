@@ -50,6 +50,27 @@ class TestAudioLDM2Tiny:
         assert out.audios.shape == (1, 6400)
         assert np.isfinite(losses).all()
 
+    def test_degenerate_cfg_skip_is_exact_dual_stream(self):
+        """The degenerate-CFG skip must hold for AudioLDM2's TUPLE conditioning
+        (GPT-2 + T5 streams + mask): empty prompt & empty negative produce
+        identical CFG halves in EVERY stream, so single-stream equals the
+        doubled program exactly."""
+        pipe = AudioLDM2Pipeline.tiny("ddim")
+        emb = pipe.encode_prompt("", None, True)
+        assert isinstance(emb, tuple)
+        assert pipe._cfg_is_degenerate(emb)
+        assert not pipe._cfg_is_degenerate(pipe.encode_prompt("piano", None,
+                                                              True))
+        out_skip = pipe(prompt="", audio_length_in_s=0.4,
+                        num_inference_steps=3, guidance_scale=3.5,
+                        key=jax.random.key(5)).audios
+        pipe2 = AudioLDM2Pipeline.tiny("ddim")
+        pipe2._cfg_is_degenerate = lambda pe: False  # force the doubled path
+        out_full = pipe2(prompt="", audio_length_in_s=0.4,
+                         num_inference_steps=3, guidance_scale=3.5,
+                         key=jax.random.key(5)).audios
+        np.testing.assert_allclose(out_skip, out_full, atol=2e-5)
+
     def test_clap_prompt_type_requires_audio_tower(self, measurement):
         pipe = AudioLDM2Pipeline.tiny("ddim")
         pipe.clap_audio_embed = None  # tiny now ships a tower; drop it

@@ -16,7 +16,9 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/diffmusic_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-SHAPES = [  # (B, T, C, heads)
+SHAPES = [  # (B, T, C, heads); B=1 rows are the degenerate-CFG single-stream
+    (1, 4000, 128, 16),
+    (1, 1000, 256, 32),
     (2, 4000, 128, 16),
     (2, 1000, 256, 32),
     (2, 252, 384, 48),   # level-2: below the current fused-block gate (512)

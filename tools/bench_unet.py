@@ -1,9 +1,12 @@
-"""UNet CFG-forward micro-benchmark (real TPU, scanned loop, bf16 weights).
+"""UNet forward micro-benchmark (real TPU, scanned loop, bf16 weights).
 
 Per the tunnel measurement protocol (docs/PERF_NOTES.md): scanned loop with a
-forced fetch. Usage: python tools/bench_unet.py [iters]
+forced fetch. Default benches the SINGLE-STREAM forward (the product's
+degenerate-CFG path); DIFFMUSIC_TPU_CFG2=1 benches the doubled one.
+Usage: python tools/bench_unet.py [iters]
 """
 
+import os
 import sys
 import time
 
@@ -24,12 +27,17 @@ def main(iters: int = 100):
         if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x, tree)
     unet_p = cast(pipe.unet_params)
     cls_dim = pipe.unet_cfg.projection_class_embeddings_input_dim
-    pembeds = jnp.zeros((2, cls_dim), jnp.bfloat16)
+    cfg_doubled = os.environ.get("DIFFMUSIC_TPU_CFG2") == "1"
+    pembeds = jnp.zeros((2 if cfg_doubled else 1, cls_dim), jnp.bfloat16)
     lat = jax.random.normal(jax.random.key(0), lat_shape)
 
     @jax.jit
     def run(p, x):
         def body(carry, t):
+            if not cfg_doubled:
+                e = pipe.unet.apply(p, carry.astype(jnp.bfloat16), t,
+                                    class_labels=pembeds).astype(jnp.float32)
+                return carry + 1e-6 * e, jnp.sum(e)
             x_in = jnp.concatenate([carry, carry], axis=0).astype(jnp.bfloat16)
             eps = pipe.unet.apply(p, x_in, t, class_labels=pembeds)
             uncond, text = jnp.split(eps.astype(jnp.float32), 2, axis=0)
@@ -47,7 +55,8 @@ def main(iters: int = 100):
     out = run(unet_p, lat)
     _ = float(jnp.sum(out[0]))
     wall = time.time() - t0
-    print(f"unet CFG fwd (bf16)  compile+1st={compile_s:7.1f}s  "
+    mode = "CFGx2" if cfg_doubled else "single-stream"
+    print(f"unet {mode} fwd (bf16)  compile+1st={compile_s:7.1f}s  "
           f"per-iter={wall / iters * 1e3:7.2f} ms", flush=True)
 
 

@@ -8,6 +8,7 @@ weights (no egress), real AudioLDM2-music dims, 20-step scan.
 Usage: python tools/check_audioldm2_step.py [steps]
 """
 
+import os
 import sys
 import time
 
@@ -51,12 +52,19 @@ def main(steps: int = 20):
     vae = AutoencoderKL(vae_cfg)
     voc = SpeechT5HifiGan(voc_cfg)
 
+    # mirror the product's exact degenerate-CFG skip (pipelines/musicldm.py
+    # __call__, inherited by AudioLDM2): the reference CLI's inverse-problem
+    # default is an empty prompt AND empty negative prompt, so the GPT-2 and
+    # T5 conditioning halves are identical and the CFG combine is the
+    # identity. DIFFMUSIC_TPU_CFG2=1 benches the doubled program.
+    cfg_doubled = os.environ.get("DIFFMUSIC_TPU_CFG2") == "1"
+    nstream = 2 if cfg_doubled else 1
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         ks = jax.random.split(jax.random.key(0), 3)
-        gen = jnp.zeros((2, 8, 768))        # GPT-2 generated stream (CFG x2)
-        t5_seq = jnp.zeros((2, 12, 1024))   # T5 stream
-        t5_mask = jnp.ones((2, 12), jnp.int32)
+        gen = jnp.zeros((nstream, 8, 768))      # GPT-2 generated stream
+        t5_seq = jnp.zeros((nstream, 12, 1024))  # T5 stream
+        t5_mask = jnp.ones((nstream, 12), jnp.int32)
         unet_p = unet.init(ks[0], jnp.zeros(lat_shape), jnp.asarray([0]),
                            encoder_hidden_states=gen[:1],
                            encoder_hidden_states_1=t5_seq[:1],
@@ -86,6 +94,12 @@ def main(steps: int = 20):
         unet_pp, vae_pp, voc_pp = params
 
         def model_fn(x, t):
+            if not cfg_doubled:
+                eps = unet.apply(unet_pp, x.astype(jnp.bfloat16), t,
+                                 encoder_hidden_states=gen,
+                                 encoder_hidden_states_1=t5_seq,
+                                 encoder_attention_mask_1=t5_mask)
+                return eps.astype(jnp.float32)
             x_in = jnp.concatenate([x, x], axis=0).astype(jnp.bfloat16)
             eps = unet.apply(unet_pp, x_in, t,
                              encoder_hidden_states=gen,
