@@ -98,6 +98,8 @@ def compile_table():
             return final, losses
         return scan
 
+    # setup (above) rode the persistent cache; the timed compiles must not
+    jax.config.update("jax_enable_compilation_cache", False)
     rows = []
     prev_s = 0.0
     for name, kind in [("scan200_unet_ddim", "none"),
@@ -136,8 +138,16 @@ def compile_table():
 
 def main(stage="all"):
     if stage == "table":
-        # force true cold numbers: no persistent cache for this process
-        jax.config.update("jax_enable_compilation_cache", False)
+        # True cold numbers for the MEASURED programs only. Disabling the
+        # cache for the whole process was measured to stall: flagship SETUP
+        # alone (dozens of small param-init/setup jits, each a 10-40 s
+        # remote-compile round trip through the tunnel) exceeded 22 minutes
+        # with zero table rows emitted. compile_table() therefore runs setup
+        # with the persistent cache ON and flips it OFF right before the
+        # lowered.compile() calls it is timing.
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/diffmusic_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
         return compile_table()
     sys.path.insert(0, ".")
     import __graft_entry__
