@@ -183,3 +183,46 @@ class TestClassicMetrics:
         a = [_tone(300)]
         b = [rng.standard_normal(16000).astype(np.float32)]
         assert KullbackLeiblerDivergence().score(a, b) >= 0
+
+    def test_kl_reference_formula_parity(self):
+        """Exact parity with the reference formula (diffmusic/metrics/kl.py:
+        100-110): per-clip (frames, D) embeddings concatenated over frames
+        (get_embeddings, kl.py:98), per-FRAME softmax, then
+        kl_div((p+eps).log(), q+eps, reduction='sum') / n_eval_frames with
+        p = eval, q = background, eps = 1e-6 — NOT a per-clip mean-pooled
+        variant. Torch replication at 1e-6."""
+        import torch
+        import torch.nn.functional as F
+
+        emb = MFCCStackEmbedding()
+        rng = np.random.default_rng(7)
+        clips_bg = [(0.4 * _tone(300, 32000)
+                     + 0.02 * rng.standard_normal(32000)).astype(np.float32),
+                    _tone(520, 48000)]
+        clips_ev = [(0.4 * _tone(330, 32000)
+                     + 0.02 * rng.standard_normal(32000)).astype(np.float32),
+                    _tone(620, 48000)]
+
+        def ref_kl(bg_clips, ev_clips, eps=1e-6):
+            e_bg = np.concatenate([emb(c) for c in bg_clips], axis=0)
+            e_ev = np.concatenate([emb(c) for c in ev_clips], axis=0)
+            p = torch.tensor(e_ev, dtype=torch.float32).softmax(dim=-1)
+            q = torch.tensor(e_bg, dtype=torch.float32).softmax(dim=-1)
+            return float(F.kl_div((p + eps).log(), (q + eps),
+                                  reduction="sum") / len(p))
+
+        ours = KullbackLeiblerDivergence(embed_fn=emb).score(clips_bg,
+                                                             clips_ev)
+        theirs = ref_kl(clips_bg, clips_ev)
+        assert ours == pytest.approx(theirs, abs=1e-6)
+
+    def test_kl_frame_count_mismatch_raises(self):
+        # torch.kl_div errors on non-broadcastable frame counts; we fail with
+        # a clearer message rather than silently truncating
+        with pytest.raises(ValueError, match="frame counts differ"):
+            KullbackLeiblerDivergence().score([_tone(300, 16000)],
+                                              [_tone(300, 64000)])
+
+    def test_kl_empty_dir_sentinel(self):
+        # reference returns -1 for an empty directory (kl.py:156-161)
+        assert KullbackLeiblerDivergence().score([], [_tone(440)]) == -1.0
