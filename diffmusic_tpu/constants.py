@@ -13,6 +13,10 @@ MUSICCAPS = "music_data"
 # models
 AUDIOLDM2 = "audioldm2"
 MUSICLDM = "musicldm"
+# reachable here unlike the reference, whose run.py -m lists only
+# audioldm2/musicldm (reference run.py:84-87) while shipping
+# configs/model/stable_audio.yaml and a dormant pipeline
+STABLE_AUDIO = "stable_audio"
 
 # tasks
 MUSIC_GENERATION = "music_generation"

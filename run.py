@@ -13,7 +13,7 @@ from pathlib import Path
 import numpy as np
 
 from diffmusic_tpu.constants import (
-    CONFIG_PATH, MOISES, MUSICCAPS, AUDIOLDM2, MUSICLDM,
+    CONFIG_PATH, MOISES, MUSICCAPS, AUDIOLDM2, MUSICLDM, STABLE_AUDIO,
     MUSIC_GENERATION, MUSIC_INPAINTING, SUPER_RESOLUTION,
     PHASE_RETRIEVAL, MUSIC_DEREVERBERATION, STYLE_GUIDANCE,
     DDIM, DPS, MPGD, DSG, DIFFMUSIC, DITTO,
@@ -32,7 +32,7 @@ def parse_arguments() -> Namespace:
     parser.add_argument("-d", "--datasets", type=str, default=MOISES,
                         choices=[MOISES, MUSICCAPS])
     parser.add_argument("-m", "--model", type=str, default=AUDIOLDM2,
-                        choices=[AUDIOLDM2, MUSICLDM])
+                        choices=[AUDIOLDM2, MUSICLDM, STABLE_AUDIO])
     parser.add_argument("--mask_type", type=str, default="box",
                         choices=["box", "random", "periodic"])
     parser.add_argument("--supervised_space", type=str, default=MEL_SPECTROGRAM,
@@ -136,6 +136,17 @@ def load_pipeline(args, config, operator):
     from diffmusic_tpu.samplers import DiffusionSchedule
 
     cls = get_pipeline(pip_name=config.model.name)
+    if config.model.name == STABLE_AUDIO:
+        # EDM DPM-Solver++(2M) is internal to the pipeline; the DDIM block in
+        # stable_audio.yaml is unused (the reference marks it "TODO: need to
+        # fix" and its pipeline is unreachable anyway, run.py:84-87)
+        if args.tiny:
+            return cls.tiny()
+        if args.checkpoint_dir:
+            return cls.from_pretrained(args.checkpoint_dir)
+        raise SystemExit(
+            "This environment has no hub egress: pass --checkpoint_dir with "
+            "locally converted weights, or --tiny for the smoke mode.")
     sched_cfg = config.model.scheduler
     schedule = DiffusionSchedule(
         num_train_timesteps=sched_cfg.num_train_timesteps,
@@ -189,6 +200,13 @@ def main() -> None:
               "mel_input", "mel_recon", "mel_label"]:
         os.makedirs(Path(output_dir, d), exist_ok=True)
 
+    if args.model == STABLE_AUDIO and args.task != MUSIC_GENERATION:
+        raise SystemExit(
+            "stable_audio supports music_generation only: its latent space is "
+            "the waveform-VAE (Oobleck), and neither this build nor the "
+            "reference defines a measurement/guidance path for it (reference "
+            "pipeline_stable_audio.py:728 plain scheduler.step)")
+
     noiser = get_noiser(**config.inverse_problem.noise)
     operator, downsample_scale = build_operator(args, config, noiser)
     pipe = load_pipeline(args, config, operator)
@@ -196,8 +214,16 @@ def main() -> None:
         operator = bind_style_guidance(pipe, operator)
     pipe.mesh = parse_mesh(args.mesh)
 
-    audio_length_in_s = config.model.pipe.audio_length_in_s
+    # stable_audio.yaml keys the clip length as audio_end_in_s (reference
+    # configs/model/stable_audio.yaml), the LDM configs as audio_length_in_s
+    audio_length_in_s = config.model.pipe.get(
+        "audio_length_in_s", config.model.pipe.get("audio_end_in_s"))
     sr = config.data.sample_rate
+    # generated audio is written at the GENERATOR's rate: the LDM vocoders run
+    # at 16 kHz (== data sr), the Oobleck waveform VAE at its own rate
+    out_sr = (getattr(getattr(pipe, "vocoder_cfg", None), "sampling_rate", None)
+              or getattr(getattr(pipe, "vae_cfg", None), "sampling_rate", None)
+              or sr)
     wav2mel = Wav2Mel(sample_rate=sr, n_fft=config.data.n_fft,
                       hop_length=config.data.hop_length,
                       win_length=config.data.win_length,
@@ -292,11 +318,14 @@ def main() -> None:
             write_wav(Path(output_dir, "wav_input", file_name),
                       np.asarray(ref_wave)[0], sr // downsample_scale)
 
-        pred_mel = np.asarray(wav2mel(jnp.asarray(audio)))[:, :, :mel_frames]
+        audio = np.asarray(audio)
+        # stable_audio emits stereo (B, C, T); downmix for the mel PNG only
+        audio_mono = audio.mean(axis=1) if audio.ndim == 3 else audio
+        pred_mel = np.asarray(wav2mel(jnp.asarray(audio_mono)))[:, :, :mel_frames]
         save_mel_spectrogram(pred_mel.transpose(0, 2, 1),
                              Path(output_dir, "mel_recon",
-                                  file_name).with_suffix(".png"), sr)
-        write_wav(recon_path, audio[0], sr)
+                                  file_name).with_suffix(".png"), out_sr)
+        write_wav(recon_path, audio[0], out_sr)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,46 @@ def _run_cli(monkeypatch, tmp_path, data_root, extra):
     return tmp_path / "outputs" / "musicldm" / "moises" / "dps" / "music_inpainting"
 
 
+def test_cli_stable_audio_music_generation(monkeypatch, tmp_path, data_root):
+    """stable_audio is reachable from the product CLI (unlike the reference,
+    whose run.py -m lists only audioldm2/musicldm at run.py:84-87 while
+    shipping configs/model/stable_audio.yaml): tiny e2e produces the output
+    tree with a stereo wav at the Oobleck rate."""
+    import run
+    argv = ["run.py", "-c", "ddim", "-t", "music_generation",
+            "-m", "stable_audio", "--tiny", "--num_inference_steps", "2",
+            "-o", f"data.root={data_root}",
+            "-o", "data.start_s=0", "-o", "data.end_s=0.4",
+            "-o", "model.pipe.audio_end_in_s=0.2",
+            "-o", "model.pipe.num_waveforms_per_prompt=1"]
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", argv)
+    run.main()
+    out = (tmp_path / "outputs" / "stable_audio" / "moises" / "ddim"
+           / "music_generation")
+    assert (out / "wav_recon" / "track.wav").exists()
+    assert (out / "mel_recon" / "track.png").exists()
+
+    from diffmusic_tpu.data.io import read_wav
+    recon, sr = read_wav(out / "wav_recon" / "track.wav")
+    assert sr == 16000  # tiny Oobleck rate (real ckpt: 44.1 kHz)
+    assert recon.shape[0] == 2  # stereo
+    assert recon.shape[-1] == 3200  # audio_end_in_s * sr
+    assert np.isfinite(recon).all()
+
+
+def test_cli_stable_audio_rejects_inverse_tasks(monkeypatch, tmp_path,
+                                                data_root):
+    import run
+    argv = ["run.py", "-c", "dps", "-t", "music_inpainting",
+            "-m", "stable_audio", "--tiny",
+            "-o", f"data.root={data_root}"]
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", argv)
+    with pytest.raises(SystemExit, match="music_generation only"):
+        run.main()
+
+
 def test_cli_end_to_end_output_tree(monkeypatch, tmp_path, data_root, capsys):
     out = _run_cli(monkeypatch, tmp_path, data_root, [])
 
