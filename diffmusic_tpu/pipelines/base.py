@@ -182,7 +182,8 @@ def mel_spectrogram_to_waveform_with_phase(mel, phase, n_fft: int = 1024,
                                            hop_length: int = 160,
                                            win_length: int = 1024,
                                            sample_rate: int = 16000,
-                                           original_waveform_length: int = 0):
+                                           original_waveform_length: int = 0,
+                                           linear_magnitude=None):
     """Phase-aware mel -> waveform: pinv mel inversion + known-phase iSTFT.
 
     Reference: pipeline_musicldm.py:263-301 (torchaudio's iterative
@@ -190,16 +191,23 @@ def mel_spectrogram_to_waveform_with_phase(mel, phase, n_fft: int = 1024,
     ops.mel.InverseMelScale; the scatter-free istft in ops.stft).
     mel: (B, 1, T, n_mels) or (B, T, n_mels) magnitude-scale mel;
     phase: (..., n_freqs, frames) from ops.stft.magphase_spectrogram.
+    linear_magnitude: optional (..., n_freqs, frames) linear |STFT| to use
+    directly instead of pinv-inverting the mel — the phase_retrieval task's
+    measurement IS that magnitude, so its recon path passes it here
+    (MusicLDMPipeline.__call__) and only the phase is estimated.
     """
     import jax.numpy as jnp
     from ..ops.mel import InverseMelScale
     from ..ops.stft import istft
 
-    if mel.ndim == 4:
-        mel = mel[:, 0]
-    mel = jnp.swapaxes(mel, -1, -2)  # (B, n_mels, T)
-    linear = InverseMelScale(n_stft=n_fft // 2 + 1, n_mels=mel.shape[-2],
-                             sample_rate=sample_rate)(mel)
+    if linear_magnitude is not None:
+        linear = jnp.asarray(linear_magnitude)
+    else:
+        if mel.ndim == 4:
+            mel = mel[:, 0]
+        mel = jnp.swapaxes(mel, -1, -2)  # (B, n_mels, T)
+        linear = InverseMelScale(n_stft=n_fft // 2 + 1, n_mels=mel.shape[-2],
+                                 sample_rate=sample_rate)(mel)
     frames = min(linear.shape[-1], phase.shape[-1])
     linear = linear[..., :frames]
     phase = phase[..., :frames]

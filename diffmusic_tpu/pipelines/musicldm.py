@@ -470,6 +470,34 @@ class MusicLDMPipeline:
             self._denoise_cache["decode"] = jax.jit(decode)
         mel, audio = self._denoise_cache["decode"](mparams, final)
         audio = np.asarray(audio[:, :owl], np.float32)
+
+        from ..inverse_problem import PhaseRetrievalOperator
+        if measurement is not None and isinstance(self.operator,
+                                                  PhaseRetrievalOperator):
+            # phase-aware recon for phase_retrieval (the task the reference's
+            # dormant mel_spectrogram_to_waveform_with_phase was built for,
+            # pipeline_musicldm.py:263-301): the measurement IS the true
+            # linear |STFT| magnitude, so rebuild the waveform from it with
+            # the phase ESTIMATED from the sampled vocoder audio — one
+            # projection onto the magnitude-consistent set, which strictly
+            # tightens |STFT(recon)| vs the plain vocoder output
+            # (tests/test_pipeline_musicldm.py::test_phase_retrieval_
+            # phase_aware_output).
+            from ..ops.stft import magphase_spectrogram
+            from .base import mel_spectrogram_to_waveform_with_phase
+            op = self.operator
+            wav = jnp.asarray(audio)
+            for _ in range(4):  # Griffin-Lim-style alternating projections
+                _, phase = magphase_spectrogram(
+                    wav, n_fft=op.n_fft, hop_length=op.hop_length,
+                    win_length=op.win_length)
+                wav = mel_spectrogram_to_waveform_with_phase(
+                    mel, phase, n_fft=op.n_fft, hop_length=op.hop_length,
+                    win_length=op.win_length, sample_rate=op.sample_rate,
+                    original_waveform_length=owl,
+                    linear_magnitude=measurement)
+            audio = np.asarray(wav, np.float32)
+
         out = AudioPipelineOutput(audios=audio)
         if return_losses:
             return out, np.asarray(losses)

@@ -176,3 +176,63 @@ class TestMusicLDMTiny:
         with pytest.raises(ValueError, match="supervised_space"):
             pipe(prompt="", audio_length_in_s=0.4, num_inference_steps=2,
                  measurement=measurement, supervised_space="latent")
+
+
+class TestPhaseRetrievalOutput:
+    def test_phase_aware_output_beats_plain_vocoder(self):
+        """phase_retrieval recon path (musicldm.py __call__ epilogue): the
+        output is rebuilt from the measurement's exact |STFT| magnitude with
+        the phase estimated from the sampled vocoder audio, via
+        mel_spectrogram_to_waveform_with_phase(linear_magnitude=...). Its
+        magnitude-consistency error must beat the plain vocoder output
+        (the measurement magnitude is exact; only iSTFT overlap-consistency
+        error remains)."""
+        from diffmusic_tpu.inverse_problem import PhaseRetrievalOperator
+        from diffmusic_tpu.ops.stft import spectrogram
+
+        op = PhaseRetrievalOperator(n_fft=256, hop_length=64, win_length=256)
+        pipe = MusicLDMPipeline.tiny("dps", operator=op)
+        sr, owl = 16000, 6400
+        t = np.arange(owl) / sr
+        gt = jnp.asarray((0.4 * np.sin(2 * np.pi * 440 * t)
+                          + 0.2 * np.sin(2 * np.pi * 880 * t)
+                          ).astype(np.float32))[None]
+        meas = op.forward(gt)
+
+        kwargs = dict(prompt="", audio_length_in_s=0.4, num_inference_steps=3,
+                      ip_guidance_rate=1e-3, measurement=meas,
+                      key=jax.random.key(5))
+        recon = pipe(**kwargs).audios
+        assert recon.shape[-1] == owl and np.isfinite(recon).all()
+
+        # plain vocoder output from the SAME sampled latents
+        latents = jnp.asarray(pipe(**kwargs, output_type="latent").audios)
+        plain = np.asarray(pipe.mel_to_waveform(
+            pipe.decode_mel(latents))[:, :owl], np.float32)
+
+        def mag_err(wav):
+            mag = spectrogram(jnp.asarray(wav), op.n_fft, op.hop_length,
+                              op.win_length, power=1.0, use_hann=False)
+            return float(jnp.linalg.norm(mag - meas))
+
+        assert mag_err(recon) < 0.5 * mag_err(plain), \
+            (mag_err(recon), mag_err(plain))
+
+    def test_phase_aware_path_not_triggered_for_other_operators(self):
+        """Inpainting recon must stay on the plain vocoder path."""
+        op = MusicInpaintingOperator(audio_length_in_s=0.4, sample_rate=16000,
+                                     mask_type="box", start_inpainting_s=0.15,
+                                     end_inpainting_s=0.25)
+        pipe = MusicLDMPipeline.tiny("dps", operator=op)
+        rng = np.random.default_rng(0)
+        wav = jnp.asarray(rng.standard_normal((1, 6400)).astype(np.float32)
+                          * 0.1)
+        meas = op.forward(wav)
+        kwargs = dict(prompt="", audio_length_in_s=0.4, num_inference_steps=2,
+                      ip_guidance_rate=1e-3, measurement=meas,
+                      key=jax.random.key(5))
+        recon = pipe(**kwargs).audios
+        latents = jnp.asarray(pipe(**kwargs, output_type="latent").audios)
+        plain = np.asarray(pipe.mel_to_waveform(
+            pipe.decode_mel(latents))[:, :6400], np.float32)
+        np.testing.assert_allclose(recon, plain, atol=1e-6)
