@@ -6,17 +6,28 @@ stages: unet, vae, vocoder, loss, step, scan20, table
 `table` (VERDICT r2 item 9) attributes the bench's cold-start compile
 program-by-program: it compiles the 200-step scan in cumulative variants
 (unet-only DDIM -> +VAE-decode guidance -> full VAE+vocoder guidance) plus the
-small side programs, with the persistent cache DISABLED so every number is a
-true cold compile, and prints a JSON table of (program, compile_s, delta_s).
+small side programs. Setup rides the persistent cache (a fully cache-off
+process stalls >22 min in the many-small-program flagship setup before the
+first row); only the timed lowered.compile() calls run cache-off, so each row
+is a true cold compile. Prints a JSON table of (program, compile_s, delta_s).
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# all stages ride the persistent cache for SETUP (the non-table stages
+# previously configured none and paid the same many-small-program tunnel
+# cold-compile stall this file's table stage was fixed for); same default +
+# env override as bench.py
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/diffmusic_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 
 def timed(name, fn, *args):
@@ -143,11 +154,8 @@ def main(stage="all"):
         # alone (dozens of small param-init/setup jits, each a 10-40 s
         # remote-compile round trip through the tunnel) exceeded 22 minutes
         # with zero table rows emitted. compile_table() therefore runs setup
-        # with the persistent cache ON and flips it OFF right before the
-        # lowered.compile() calls it is timing.
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/diffmusic_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+        # with the persistent cache ON (module-level config above) and flips
+        # it OFF right before the lowered.compile() calls it is timing.
         return compile_table()
     sys.path.insert(0, ".")
     import __graft_entry__
