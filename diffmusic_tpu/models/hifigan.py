@@ -32,7 +32,8 @@ class FusedConv1D(nn.Module):
 
     @nn.compact
     def __call__(self, x, residual=None, signal_len: int | None = None):
-        from ..pallas.conv1d_kernel import conv1d_fused, conv1d_fused_canvas
+        from ..pallas.conv1d_kernel import (canvas_mode, conv1d_canvas_xbwd,
+                                            conv1d_fused, conv1d_fused_canvas)
         cin = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (self.kernel_size, cin, self.features))
@@ -45,6 +46,10 @@ class FusedConv1D(nn.Module):
         if signal_len is not None:
             # canvas (margin-carrying) contract: x/residual/result are
             # to_canvas tensors; no pad/slice copies between chained convs
+            if canvas_mode() == "xbwd":
+                return conv1d_canvas_xbwd(x, kernel, bias, residual,
+                                          signal_len, self.dilation,
+                                          self.slope, residual is not None)
             return conv1d_fused_canvas(x, kernel, bias, residual, signal_len,
                                        self.dilation, self.slope,
                                        residual is not None, w_adj=w_adj)
@@ -192,8 +197,21 @@ class ResidualBlock(nn.Module):
                 x = packed_conv1d(h, w2, b2, 1, packed_r, self.slope,
                                   residual=x)
             return x
+        from ..pallas.conv1d_kernel import canvas_mode, conv1d_pair_canvas
         for i, d in enumerate(self.dilations):
             cin = x.shape[-1]
+            if signal_len is not None and canvas_mode() == "xbwd" \
+                    and pair_ok(self.kernel_size, cin, self.channels,
+                                x.dtype):
+                # canvas-contract fused pair: margins re-established
+                # in-kernel, XLA adjoint backward (round-4 quadrant)
+                w1, b1 = _ConvParams(self.channels, self.kernel_size,
+                                     name=f"convs1_{i}")(cin)
+                w2, b2 = _ConvParams(self.channels, self.kernel_size,
+                                     name=f"convs2_{i}")(self.channels)
+                x = conv1d_pair_canvas(x, w1, b1, w2, b2, signal_len, d,
+                                       self.slope)
+                continue
             if signal_len is None and pair_ok(self.kernel_size, cin,
                                               self.channels, x.dtype):
                 w1, b1 = _ConvParams(self.channels, self.kernel_size,

@@ -296,19 +296,32 @@ def from_canvas(xc, t: int):
     return xc[:, TIME_BLOCK:TIME_BLOCK + t, :]
 
 
+def canvas_mode() -> str:
+    """'off' | 'pallas_bwd' | 'xbwd' (DIFFMUSIC_TPU_CANVAS=0|1|xbwd).
+
+    pallas_bwd is the round-2 contract (canvas kernels in BOTH directions) —
+    measured LOST (60.4 vs 34.3 ms/iter vocoder fwd+bwd: the per-custom-call
+    penalty in the transposed program region, not boundary copies, was the
+    cost). xbwd is the round-4 quadrant that round 2 never measured: canvas
+    forwards (zero pad/slice copies between chained convs) with the
+    measured-best XLA conv-adjoint backward run canvas-wide. Interpret-mode
+    tests default to xbwd so the new path has CPU coverage."""
+    import os
+    v = os.environ.get("DIFFMUSIC_TPU_CANVAS", "")
+    if v == "1":
+        return "pallas_bwd"
+    if v == "xbwd":
+        return "xbwd"
+    if v in ("", "0") and _INTERPRET:
+        return "xbwd"
+    return "off"
+
+
 def canvas_ok(cin: int, cout: int) -> bool:
     """Mosaic DMA lane dims must be 128-aligned; off-TPU (non-interpret) the
-    plain XLA path wins, so canvas routing is TPU + aligned channels only.
-
-    DEFAULT OFF on TPU (DIFFMUSIC_TPU_CANVAS=1 to enable): measured vocoder
-    fwd+bwd 60.4 ms/iter vs 34.3 with the per-call-pad forward + XLA adjoint
-    — removing the boundary pad/slice copies did NOT remove the full-program
-    pallas-adjoint penalty (docs/PERF_NOTES.md round-2 canvas experiment), so
-    the boundary-copy hypothesis for that penalty is refuted and the old
-    routing stays the production default."""
-    import os
-    enabled = os.environ.get("DIFFMUSIC_TPU_CANVAS", "0") == "1"
-    return (_INTERPRET or (enabled and _on_tpu())) \
+    plain XLA path wins, so canvas routing is TPU + aligned channels only
+    (mode selection: canvas_mode)."""
+    return (_INTERPRET or (canvas_mode() != "off" and _on_tpu())) \
         and cin % 128 == 0 and cout % 128 == 0
 
 
@@ -690,3 +703,241 @@ def _pair_bwd(dilation, slope, res, g):
 
 
 conv1d_fused_pair.defvjp(_pair_fwd, _pair_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Canvas-contract fused PAIR + XLA adjoint backward (round 4)
+#
+# The round-2 canvas experiment only ever measured canvas forwards combined
+# with PALLAS backwards (pre-transposed w_adj or in-kernel adjoint) — the
+# configuration whose per-custom-call penalty in the transposed program
+# region was later isolated by the mask-kernel experiment (docs/PERF_NOTES.md
+# round-2). This section supplies the untested quadrant: canvas-contract
+# forward kernels (zero pad/slice copies between the chained resblock convs —
+# the round-3 trace attributes 7.9 ms/step to the pallas-boundary copy/layout
+# tail) with the measured-best XLA conv-adjoint backward operating directly
+# on canvas-shaped tensors (margins re-zeroed by fused iota masks, so no
+# boundary copies appear in the backward either).
+# ---------------------------------------------------------------------------
+
+
+def _pair_canvas_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, y_ref, h_ref,
+                        xs_ref, sem, *, k: int, dilation: int, h1r: int,
+                        h2r: int, pad1: int, pad2: int, slope,
+                        t_valid: int):
+    bsz_i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)          # blocks + 2
+    blocks = nj - 2
+    ht = h1r + h2r
+    win = TIME_BLOCK + 2 * ht
+    total = pl.num_programs(0) * blocks
+
+    def dma_for(lin_idx):
+        bb = lin_idx // blocks
+        jj = jax.lax.rem(lin_idx, blocks) + 1
+        slot = jax.lax.rem(lin_idx, 2)
+        start = pl.multiple_of(jj * TIME_BLOCK - ht,
+                               math.gcd(TIME_BLOCK, ht))
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(start, win), :], xs_ref.at[slot], sem.at[slot])
+
+    is_zero = jnp.logical_or(j == 0, j == nj - 1)
+    lin = bsz_i * blocks + (j - 1)
+
+    @pl.when(jnp.logical_and(bsz_i == 0, j == 0))
+    def _():
+        dma_for(0).start()
+
+    @pl.when(is_zero)
+    def _():
+        y_ref[0] = jnp.zeros_like(y_ref[0])
+        h_ref[0] = jnp.zeros_like(h_ref[0])
+
+    @pl.when(jnp.logical_not(is_zero))
+    def _():
+        @pl.when(lin + 1 < total)
+        def _():
+            dma_for(lin + 1).start()
+
+        dma_for(lin).wait()
+        raw = xs_ref[jax.lax.rem(lin, 2)]
+        rawf = raw.astype(jnp.float32)
+        xs = jnp.where(rawf >= 0, rawf, slope * rawf).astype(raw.dtype)
+
+        # conv1 over the extended range so conv2 has its halo in VMEM
+        nh = TIME_BLOCK + 2 * h2r
+        r0 = h1r - pad1
+        acc1 = None
+        for tap in range(k):
+            d = jax.lax.dot_general(
+                xs[r0 + tap * dilation:r0 + tap * dilation + nh, :],
+                w1_ref[tap], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc1 = d if acc1 is None else acc1 + d
+        h = acc1 + b1_ref[:, :].astype(jnp.float32)
+        # zero h outside the signal: bias rows would otherwise leak into
+        # conv2 and break the zero-margin invariant of the h output
+        row = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0) \
+            + (j - 1) * TIME_BLOCK - h2r
+        h = jnp.where(jnp.logical_and(row >= 0, row < t_valid), h,
+                      jnp.float32(0))
+        h_ref[0] = h[h2r:h2r + TIME_BLOCK].astype(h_ref.dtype)
+
+        hs = jnp.where(h >= 0, h, slope * h).astype(raw.dtype)
+        c0 = h2r - pad2
+        acc2 = None
+        for tap in range(k):
+            d = jax.lax.dot_general(hs[c0 + tap:c0 + tap + TIME_BLOCK, :],
+                                    w2_ref[tap], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            acc2 = d if acc2 is None else acc2 + d
+        y = acc2 + b2_ref[:, :].astype(jnp.float32) \
+            + rawf[ht:ht + TIME_BLOCK]
+        yrow = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0) \
+            + (j - 1) * TIME_BLOCK
+        y = jnp.where(yrow < t_valid, y, jnp.float32(0))
+        y_ref[0] = y.astype(y_ref.dtype)
+
+
+def _pair_canvas_pallas(xc, w1, b1, w2, b2, t: int, dilation: int, slope):
+    bsz, tc, cin = xc.shape
+    k = w1.shape[0]
+    cout = w1.shape[2]
+    blocks = canvas_blocks(t)
+    assert tc == (blocks + 2) * TIME_BLOCK, (tc, t)
+    pad1 = (k - 1) * dilation // 2
+    pad2 = (k - 1) // 2
+    h1r = _sublane_round(max(pad1, 1), xc.dtype)
+    h2r = _sublane_round(max(pad2, 1), xc.dtype)
+    ht = h1r + h2r
+    win = TIME_BLOCK + 2 * ht
+
+    kernel = functools.partial(_pair_canvas_kernel, k=k, dilation=dilation,
+                               h1r=h1r, h2r=h2r, pad1=pad1, pad2=pad2,
+                               slope=slope, t_valid=t)
+    y, h = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((bsz, tc, cout), xc.dtype),
+                   jax.ShapeDtypeStruct((bsz, tc, cout), xc.dtype)),
+        grid=(bsz, blocks + 2),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),               # canvas in HBM
+            pl.BlockSpec(w1.shape, lambda b_, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b_, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, lambda b_, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b_, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, TIME_BLOCK, cout),
+                                lambda b_, j: (b_, j, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TIME_BLOCK, cout),
+                                lambda b_, j: (b_, j, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, win, cin), xc.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bsz * blocks * TIME_BLOCK * k * cin * cout,
+            bytes_accessed=xc.dtype.itemsize * bsz * blocks * win * cin * 3,
+            transcendentals=0),
+        interpret=_INTERPRET,
+    )(xc, w1, b1.reshape(1, cout), w2, b2.reshape(1, cout))
+    return y, h
+
+
+def _pair_canvas_reference(xc, w1, b1, w2, b2, t, dilation, slope):
+    y, h = _pair_reference(from_canvas(xc, t), w1, b1, w2, b2, dilation, slope)
+    return to_canvas(y), to_canvas(h)
+
+
+def _canvas_row_mask(tc: int, t: int, dtype=jnp.float32):
+    """(1, tc, 1) 1/0 mask of the signal region [TB, TB+t) on the canvas."""
+    r = jnp.arange(tc)
+    return ((r >= TIME_BLOCK) & (r < TIME_BLOCK + t)).astype(dtype)[None, :,
+                                                                   None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def conv1d_pair_canvas(xc, w1, b1, w2, b2, t: int, dilation: int, slope):
+    """Canvas-contract ResidualBlock iteration
+    y = conv2(leaky(conv1(leaky(x)) + b1)) + b2 + x, both I/O canvas-shaped
+    with zero margins re-established in-kernel (no pad/slice copies between
+    chained pairs). Backward = the measured-best XLA conv adjoints run
+    canvas-wide, margins re-zeroed by fused iota masks. Only call when
+    pair_ok(...)."""
+    if not _INTERPRET and not _on_tpu():
+        return _pair_canvas_reference(xc, w1, b1, w2, b2, t, dilation,
+                                      slope)[0]
+    return _pair_canvas_pallas(xc, w1, b1, w2, b2, t, dilation, slope)[0]
+
+
+def _pair_canvas_fwd(xc, w1, b1, w2, b2, t, dilation, slope):
+    if not _INTERPRET and not _on_tpu():
+        y, h = _pair_canvas_reference(xc, w1, b1, w2, b2, t, dilation, slope)
+    else:
+        y, h = _pair_canvas_pallas(xc, w1, b1, w2, b2, t, dilation, slope)
+    return y, (xc, h, w1, w2)
+
+
+def _pair_canvas_bwd(t, dilation, slope, res, g):
+    xc, h, w1, w2 = res
+    rv = _canvas_row_mask(xc.shape[1], t)
+    g = g * rv.astype(g.dtype)
+    g16 = g.astype(w1.dtype)
+    zero_b = jnp.zeros((w1.shape[1],), w1.dtype)
+    w2_adj = jnp.flip(w2, axis=0).swapaxes(1, 2)
+    dhs = _conv1d_reference(g16, w2_adj, zero_b, 1, None, None)
+    dh = jnp.where(h >= 0, dhs, slope * dhs) * rv.astype(dhs.dtype)
+    w1_adj = jnp.flip(w1, axis=0).swapaxes(1, 2)
+    dxs = _conv1d_reference(dh.astype(w1.dtype), w1_adj, zero_b, dilation,
+                            None, None)
+    dx = (jnp.where(xc >= 0, dxs, slope * dxs) + g) * rv.astype(dxs.dtype)
+    return (dx.astype(xc.dtype), jnp.zeros_like(w1),
+            jnp.zeros((w1.shape[2],), xc.dtype), jnp.zeros_like(w2),
+            jnp.zeros((w2.shape[2],), xc.dtype))
+
+
+conv1d_pair_canvas.defvjp(_pair_canvas_fwd, _pair_canvas_bwd)
+
+
+# Canvas single conv with the XLA adjoint backward (the k=11 ch512 resblock
+# convs that pair_ok excludes for VMEM budget): forward = the existing canvas
+# kernel, backward = canvas-wide XLA adjoint with fused margin masks.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def conv1d_canvas_xbwd(xc, w, b, residual, t: int, dilation: int,
+                       slope, has_residual: bool):
+    r = residual if has_residual else None
+    if not _INTERPRET and not _on_tpu():
+        return _canvas_reference(xc, w, b, t, dilation, slope, r)
+    return _conv1d_canvas_pallas(xc, w, b, t, dilation, slope, r)
+
+
+def _canvas_xbwd_fwd(xc, w, b, residual, t, dilation, slope, has_residual):
+    out = conv1d_canvas_xbwd(xc, w, b, residual, t, dilation, slope,
+                             has_residual)
+    return out, (xc, w)
+
+
+def _canvas_xbwd_bwd(t, dilation, slope, has_residual, res, g):
+    xc, w = res
+    rv = _canvas_row_mask(xc.shape[1], t)
+    g = g * rv.astype(g.dtype)
+    g16 = g.astype(w.dtype)
+    zero_b = jnp.zeros((w.shape[1],), w.dtype)
+    w_adj = jnp.flip(w, axis=0).swapaxes(1, 2)
+    dxs = _conv1d_reference(g16, w_adj, zero_b, dilation, None, None)
+    if slope is not None:
+        dxs = jnp.where(xc >= 0, dxs, slope * dxs)
+    dx = dxs * rv.astype(dxs.dtype)
+    dres = g if has_residual else None
+    return (dx.astype(xc.dtype), jnp.zeros_like(w),
+            jnp.zeros((w.shape[2],), xc.dtype), dres)
+
+
+conv1d_canvas_xbwd.defvjp(_canvas_xbwd_fwd, _canvas_xbwd_bwd)

@@ -242,3 +242,109 @@ class TestConv1dFused:
         ck._INTERPRET = True
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestPairCanvasXbwd:
+    """Round-4 canvas-pair quadrant: canvas-contract fused pair forward +
+    canvas-wide XLA adjoint backward (conv1d_pair_canvas / conv1d_canvas_xbwd
+    — docs/PERF_NOTES.md round-4)."""
+
+    @pytest.mark.parametrize("k,d,t", [(3, 1, 700), (7, 3, 1024),
+                                       (11, 5, 1300)])
+    def test_pair_canvas_matches_reference(self, rng, k, d, t):
+        c = 128
+        x = jnp.asarray(rng.standard_normal((1, t, c)), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((k, c, c)) * 0.05, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((k, c, c)) * 0.05, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+        xc = ck.to_canvas(x)
+        yc = ck.conv1d_pair_canvas(xc, w1, b1, w2, b2, t, d, 0.1)
+        want, _h = ck._pair_reference(x, w1, b1, w2, b2, d, 0.1)
+        np.testing.assert_allclose(np.asarray(ck.from_canvas(yc, t)),
+                                   np.asarray(want), rtol=1e-4, atol=1e-4)
+        # zero-margin invariant of the output
+        np.testing.assert_array_equal(np.asarray(ck.to_canvas(
+            ck.from_canvas(yc, t))), np.asarray(yc))
+
+    def test_pair_canvas_chain_gradient(self, rng):
+        """Grad through TWO chained canvas pairs (margins crossed twice) ==
+        autodiff of the plain pair-reference composition."""
+        t, c, k = 900, 128, 7
+        x = jnp.asarray(rng.standard_normal((1, t, c)), jnp.float32)
+        ws = [jnp.asarray(rng.standard_normal((k, c, c)) * 0.05, jnp.float32)
+              for _ in range(4)]
+        bs = [jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+              for _ in range(4)]
+
+        def loss_canvas(x_):
+            xc = ck.to_canvas(x_)
+            xc = ck.conv1d_pair_canvas(xc, ws[0], bs[0], ws[1], bs[1], t, 3,
+                                       0.1)
+            xc = ck.conv1d_pair_canvas(xc, ws[2], bs[2], ws[3], bs[3], t, 5,
+                                       0.1)
+            return jnp.sum(ck.from_canvas(xc, t) ** 2)
+
+        def loss_ref(x_):
+            y, _ = ck._pair_reference(x_, ws[0], bs[0], ws[1], bs[1], 3, 0.1)
+            y, _ = ck._pair_reference(y, ws[2], bs[2], ws[3], bs[3], 5, 0.1)
+            return jnp.sum(y ** 2)
+
+        np.testing.assert_allclose(np.asarray(jax.grad(loss_canvas)(x)),
+                                   np.asarray(jax.grad(loss_ref)(x)),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_canvas_xbwd_single_gradient(self, rng):
+        """Single-conv canvas with XLA backward (the k=11 ch512 fallback):
+        value and grad equal the reference, including the residual path."""
+        t, c = 700, 128
+        x = jnp.asarray(rng.standard_normal((1, t, c)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((11, c, c)) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+
+        def loss_canvas(x_):
+            xc = ck.to_canvas(x_)
+            h = ck.conv1d_canvas_xbwd(xc, w, b, None, t, 5, 0.1, False)
+            y = ck.conv1d_canvas_xbwd(h, w, b, xc, t, 1, 0.1, True)
+            return jnp.sum(ck.from_canvas(y, t) ** 2)
+
+        def loss_ref(x_):
+            h = _conv1d_reference(x_, w, b, 5, 0.1, None)
+            return jnp.sum(_conv1d_reference(h, w, b, 1, 0.1, x_) ** 2)
+
+        np.testing.assert_allclose(float(loss_canvas(x)), float(loss_ref(x)),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(jax.grad(loss_canvas)(x)),
+                                   np.asarray(jax.grad(loss_ref)(x)),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_vocoder_xbwd_canvas_gradient_semantics(self, rng, monkeypatch):
+        """Full vocoder value AND input-gradient under the xbwd canvas routing
+        == the plain XLA path (stage canvas entry/exit + pair/single mixing,
+        tail blocks, packed stages untouched)."""
+        from diffmusic_tpu.models.configs import HiFiGANConfig
+        from diffmusic_tpu.models.hifigan import SpeechT5HifiGan
+
+        monkeypatch.setenv("DIFFMUSIC_TPU_CANVAS", "xbwd")
+        cfg = HiFiGANConfig(model_in_dim=64, upsample_initial_channel=256,
+                            upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                            resblock_kernel_sizes=(3, 7),
+                            resblock_dilation_sizes=((1, 3), (1, 3)))
+        voc = SpeechT5HifiGan(cfg)
+        mel = jnp.asarray(rng.standard_normal((1, 41, 64)), jnp.float32)
+        params = voc.init(jax.random.key(0), mel)
+
+        def loss(m, interpret):
+            ck._INTERPRET = interpret
+            try:
+                return jnp.sum(voc.apply(params, m) ** 2)
+            finally:
+                ck._INTERPRET = True
+
+        got = float(loss(mel, True))
+        want = float(loss(mel, False))
+        np.testing.assert_allclose(got, want, rtol=1e-3)
+        g_canvas = jax.grad(lambda m: loss(m, True))(mel)
+        g_plain = jax.grad(lambda m: loss(m, False))(mel)
+        np.testing.assert_allclose(np.asarray(g_canvas), np.asarray(g_plain),
+                                   rtol=1e-3, atol=1e-3)

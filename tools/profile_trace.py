@@ -86,14 +86,20 @@ def build_sample(steps: int):
     return sample, params, lat
 
 
-def parse_traces(logdir: str, topk: int, steps: int):
+COPY_PREFIXES = ("copy", "reshape", "pad", "transpose", "convert", "bitcast",
+                 "slice", "dynamic-slice", "dynamic-update-slice", "concat")
+
+
+def parse_traces(logdir: str, topk: int, steps: int, mode: str = "top"):
     files = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not files:
         print("NO trace files found — platform did not emit a trace")
         return
     by_name = defaultdict(float)
+    by_copy = defaultdict(lambda: [0.0, 0])
     device_total = 0.0
+    copy_total = 0.0
     tracks = set()
     for f in files:
         with gzip.open(f, "rt") as fh:
@@ -109,19 +115,38 @@ def parse_traces(logdir: str, topk: int, steps: int):
             tracks.add(pname)
             if "TPU" not in pname and "tpu" not in pname.lower():
                 continue
-            by_name[ev.get("name", "?")] += ev.get("dur", 0)
+            name = ev.get("name", "?")
+            by_name[name] += ev.get("dur", 0)
             device_total += ev.get("dur", 0)
+            base = name.split(".")[0].split("-fusion")[0]
+            if base.startswith(COPY_PREFIXES):
+                # bucket the copy/layout tail by (op kind, result shape):
+                # long_name carries 'shape = ...' metadata when present
+                args = ev.get("args", {}) or {}
+                lname = args.get("long_name", "") or args.get("tf_op", "")
+                key = (base, lname[:140] if lname else name[:60])
+                by_copy[key][0] += ev.get("dur", 0)
+                by_copy[key][1] += 1
+                copy_total += ev.get("dur", 0)
     print(f"tracks seen: {sorted(tracks)}")
     if not by_name:
         print("no device-track events (host-only trace)")
         return
     print(f"device events total: {device_total / 1e3:.2f} ms "
           f"({device_total / 1e3 / steps:.3f} ms/step)")
+    if mode == "copies":
+        print(f"copy/layout tail total: {copy_total / 1e3 / steps:.3f} ms/step "
+              f"across {sum(c for _d, c in by_copy.values())} events")
+        for (base, lname), (dur, cnt) in sorted(
+                by_copy.items(), key=lambda kv: -kv[1][0])[:topk]:
+            print(f"  {dur / 1e3 / steps:8.4f} ms/step  x{cnt // steps:4d} "
+                  f" {base:12s} {lname}")
+        return
     for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:topk]:
         print(f"  {dur / 1e3 / steps:8.3f} ms/step  {name[:110]}")
 
 
-def main(steps: int = 20, topk: int = 40):
+def main(steps: int = 20, topk: int = 40, mode: str = "top"):
     sample, params, lat = build_sample(steps)
     t0 = time.time()
     out = sample(params, lat, jax.random.key(1))
@@ -135,9 +160,10 @@ def main(steps: int = 20, topk: int = 40):
     jax.block_until_ready(out)
     _ = float(jnp.sum(out[0]))
     jax.profiler.stop_trace()
-    parse_traces(logdir, topk, steps)
+    parse_traces(logdir, topk, steps, mode)
 
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 20,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 40)
+         int(sys.argv[2]) if len(sys.argv) > 2 else 40,
+         sys.argv[3] if len(sys.argv) > 3 else "top")
