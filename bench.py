@@ -2,9 +2,24 @@
 
 The BASELINE.md north star is < 10 s wall-clock for this exact workload (200 steps
 x [CFG-doubled UNet forward + guidance backward through VAE decode + HiFi-GAN +
-inpainting operator]) at MusicLDM scale. Prints ONE JSON line:
+inpainting operator]) at MusicLDM scale. Prints the JSON line
   {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
 vs_baseline > 1 means faster than the 10-s target.
+
+Output contract (the driver parses a JSON line from the tail of combined
+stdout+stderr and enforces a hard wall-clock timeout):
+  1. the headline JSON line is printed and FLUSHED immediately after the timed
+     runs — before any optional evidence/family work — so a timeout later can
+     never lose the number;
+  2. optional sections (full-chain reconstruction evidence, per-family compile
+     checks) run in OUTPUT-CAPTURED subprocesses with per-section hard
+     timeouts under a total wall-clock budget (DIFFMUSIC_TPU_BENCH_BUDGET_S,
+     default 1200 s incl. the headline); sections that would not fit are
+     recorded as skipped_for_budget instead of run;
+  3. the final line re-prints the headline enriched with compact section
+     summaries; full section payloads go to BENCH_DETAIL.json.
+Whether the driver takes the first or the last JSON line in the tail, it gets
+a valid result with the same metric/value.
 
 Weights are random (no hub egress in this environment) — identical FLOP/memory
 profile to converted checkpoints.
@@ -12,6 +27,7 @@ profile to converted checkpoints.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -27,6 +43,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 BASELINE_WALL_S = 10.0
 NUM_STEPS = 200
 AUDIO_S = 10.0
+T_START = time.time()
+TOTAL_BUDGET_S = float(os.environ.get("DIFFMUSIC_TPU_BENCH_BUDGET_S", "1200"))
+
+
+def _remaining():
+    return TOTAL_BUDGET_S - (time.time() - T_START)
 
 
 def full_chain_evidence(n_steps: int = 20, audio_s: float = 5.0):
@@ -42,18 +64,6 @@ def full_chain_evidence(n_steps: int = 20, audio_s: float = 5.0):
     measurement-consistency loss, which guidance acts on). No toy-predictor
     substitution: this runs the production MusicLDMPipeline path.
     """
-    from diffmusic_tpu.inverse_problem import MusicInpaintingOperator
-    from diffmusic_tpu.pipelines import MusicLDMPipeline
-
-    # correctness demonstration, not a perf number. It runs on the DEFAULT
-    # backend: on the TPU its ~7 tiny programs compile in ~10-40 s each
-    # through the tunnel and execute in milliseconds; the measured CPU
-    # alternative is far worse (349 s for ONE 20-step tiny guided scan at
-    # this geometry — XLA CPU compile dominates).
-    return _full_chain_evidence_impl(n_steps, audio_s)
-
-
-def _full_chain_evidence_impl(n_steps: int, audio_s: float):
     from diffmusic_tpu.inverse_problem import MusicInpaintingOperator
     from diffmusic_tpu.pipelines import MusicLDMPipeline
 
@@ -97,25 +107,61 @@ def _full_chain_evidence_impl(n_steps: int, audio_s: float):
     return out
 
 
-def family_coverage():
-    """Secondary machine-readable metrics for the other families/modes
-    (VERDICT r2 item 6): AudioLDM2 guided step, DITTO outer loop,
-    StableAudio DiT step — so a regression in any family shows up in the
-    BENCH artifact, not only in commit-message lore. Each is full-scale on
-    the real chip; failures are reported, never fatal to the headline."""
-    import importlib
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "tools"))
-    out = {}
-    for key, mod, args in [
-            ("audioldm2_guided", "check_audioldm2_step", (50,)),
-            ("ditto", "check_ditto_step", (2,)),
-            ("stable_audio", "check_stable_audio_step", (50, 10.0))]:
-        try:
-            out[key] = importlib.import_module(mod).main(*args)
-        except Exception as e:  # noqa: BLE001 — report, don't kill the bench
-            out[key] = {"error": f"{type(e).__name__}: {e}"}
-    return out
+# Optional sections: (key, argv suffix, min seconds of budget to even start).
+# Family checks use the MINIMUM scan steps that still compile the production
+# program shape (scan trip count does not change the compiled step body), per
+# VERDICT r3 item 7 — cheap when the persistent cache is warm, and each is
+# hard-timeboxed when it is not.
+SECTIONS = [
+    ("full_chain_reconstruction", ["--section", "evidence"], 120),
+    ("audioldm2_guided", ["--section", "family:audioldm2"], 90),
+    ("stable_audio", ["--section", "family:stable_audio"], 90),
+    ("ditto", ["--section", "family:ditto"], 90),
+]
+
+
+def run_section_subprocess(argv_suffix, timeout_s):
+    """Run one optional section in a child with captured output (nothing the
+    child prints can pollute the parent's tail) and a hard timeout. The child
+    prints its JSON payload as its last stdout line."""
+    cmd = [sys.executable, os.path.abspath(__file__)] + argv_suffix
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {int(timeout_s)}s"}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                break
+    tail = (proc.stderr or proc.stdout or "").strip()[-300:]
+    return {"error": f"rc={proc.returncode}: {tail}"}
+
+
+def section_main(which: str):
+    """Child-process entry for one optional section; last stdout line = JSON."""
+    if which == "evidence":
+        payload = full_chain_evidence()
+    else:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        fam = which.split(":", 1)[1]
+        if fam == "audioldm2":
+            import check_audioldm2_step
+            payload = check_audioldm2_step.main(4)
+        elif fam == "stable_audio":
+            import check_stable_audio_step
+            payload = check_stable_audio_step.main(4, 10.0)
+        elif fam == "ditto":
+            import check_ditto_step
+            payload = check_ditto_step.main(1)
+        else:
+            raise SystemExit(f"unknown section {which}")
+    print(json.dumps(payload), flush=True)
 
 
 def main(compute_dtype=jnp.bfloat16):
@@ -237,10 +283,7 @@ def main(compute_dtype=jnp.bfloat16):
                 / jnp.linalg.norm(target_mel))
 
     rel_residual = float(consistency(params, final))
-    curve = [round(float(v), 2) for v in losses[::max(1, NUM_STEPS // 10)]]
-    evidence = full_chain_evidence()
-    families = {} if os.environ.get("DIFFMUSIC_TPU_BENCH_FAMILIES") == "0" \
-        else family_coverage()
+    curve = [round(float(v), 2) for v in losses[::max(1, NUM_STEPS // 5)]]
 
     result = {
         "metric": "dps_200step_10s_inpainting_wall_clock",
@@ -251,24 +294,76 @@ def main(compute_dtype=jnp.bfloat16):
             "device": str(jax.devices()[0]),
             "cfg_mode": ("doubled" if cfg_doubled else
                          "degenerate-skip (exact: empty prompt == empty "
-                         "negative prompt => identical CLAP embeddings => "
-                         "CFG combine is the identity)"),
+                         "negative prompt => CFG combine is the identity)"),
             "compile_and_first_run_s": round(compile_and_first_run_s, 1),
             "timed_runs_s": [round(w, 3) for w in walls],
             "seconds_of_audio_per_sec_per_chip": round(AUDIO_S / wall, 3),
-            "loss_curve_every_20_steps": curve,
+            "loss_curve_every_40_steps": curve,
             "loss_first": round(float(losses[0]), 2),
             "loss_final": round(float(losses[-1]), 2),
-            "loss_reduction": round(float(losses[0] / max(losses[-1], 1e-9)),
-                                    3),
             "consistency_rel_residual": round(rel_residual, 4),
-            "full_chain_reconstruction": evidence,
-            "families": families,
+            # the headline runs the product default ip_guidance_rate=5e-4 as a
+            # THROUGHPUT config; at that rate with random weights the loss
+            # curve is flat-to-rising. Reconstruction correctness is evidenced
+            # by the full_chain_reconstruction section (loss decreasing,
+            # guided beats unguided) — see BENCH_DETAIL.json.
+            "headline_is_throughput_config": True,
+            "reconstruction_evidence": "full_chain_reconstruction",
         },
     }
-    print(json.dumps(result))
-    return result
+    # EARLY LANDING: flush the headline before any optional work, so a driver
+    # timeout during evidence/family sections can never lose the number
+    print(json.dumps(result), flush=True)
+
+    sections = {}
+    skipped = []
+    if os.environ.get("DIFFMUSIC_TPU_BENCH_FAMILIES") == "0":
+        skipped = [k for k, _a, _m in SECTIONS]
+    else:
+        for key, argv_suffix, min_budget_s in SECTIONS:
+            # leave 60 s of slack for the final print + detail write
+            remaining = _remaining() - 60
+            if remaining < min_budget_s:
+                skipped.append(key)
+                continue
+            print(f"[bench] section {key} (remaining budget "
+                  f"{int(remaining)}s)", file=sys.stderr, flush=True)
+            sections[key] = run_section_subprocess(argv_suffix, remaining)
+
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({"headline": result, "sections": sections,
+                   "skipped_for_budget": skipped,
+                   "total_wall_s": round(time.time() - T_START, 1)}, f,
+                  indent=1)
+
+    # compact section summaries for the final line (full payloads are in
+    # BENCH_DETAIL.json; the driver's tail window is small)
+    def compact(v):
+        if not isinstance(v, dict):
+            return v
+        keep = ("error", "decreasing", "beats_unguided", "ms_per_step",
+                "loss_first", "loss_final", "steps", "outer", "inner_steps",
+                "warm_total_s", "s_per_outer_steady")
+        out = {k: v[k] for k in keep if k in v}
+        for sub in ("diffmusic", "dps"):
+            if isinstance(v.get(sub), dict):
+                out[sub] = {k: v[sub][k] for k in keep if k in v[sub]}
+        return out or v
+
+    final_line = dict(result)
+    final_line["detail"] = dict(result["detail"])
+    final_line["detail"]["sections"] = {k: compact(v)
+                                        for k, v in sections.items()}
+    if skipped:
+        final_line["detail"]["skipped_for_budget"] = skipped
+    print(json.dumps(final_line), flush=True)
+    return final_line
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        section_main(sys.argv[2])
+    else:
+        main()
