@@ -29,11 +29,12 @@ def parse_arguments():
 
 
 def load_dir(d):
-    from diffmusic_tpu.data import read_wav
-    waves = []
-    for f in sorted(Path(d).glob("*.wav")):
-        wav, sr = read_wav(f)
-        waves.append(wav.mean(axis=0))
+    # threaded loader with mono downmix AND 16 kHz resampling (the reference
+    # resamples via resampy in its eval loader, diffmusic/utils.py:45-75 —
+    # stable_audio recons are stereo 44.1 kHz and must not be embedded at the
+    # wrong rate)
+    from diffmusic_tpu.utils import load_audio_files
+    waves, _names = load_audio_files(d, sample_rate=16000)
     return waves
 
 
