@@ -183,8 +183,22 @@ class ResidualBlock(nn.Module):
     slope: float
 
     @nn.compact
-    def __call__(self, x, signal_len: int | None = None, packed_r: int = 1):
+    def __call__(self, x, signal_len: int | None = None, packed_r: int = 1,
+                 collect_params: bool = False):
         from ..pallas.conv1d_kernel import conv1d_fused_pair, pair_ok
+        if collect_params:
+            # declare the identical param tree and hand the raw arrays to the
+            # stage-level fused path (pallas/stage_bwd_kernel.py) — x is
+            # returned untouched alongside the params
+            out = []
+            cin = x.shape[-1]
+            for i, _d in enumerate(self.dilations):
+                w1, b1 = _ConvParams(self.channels, self.kernel_size,
+                                     name=f"convs1_{i}")(cin)
+                w2, b2 = _ConvParams(self.channels, self.kernel_size,
+                                     name=f"convs2_{i}")(self.channels)
+                out.append((w1, b1, w2, b2))
+            return out
         if packed_r > 1:
             # x is pack_time(x, r): dense full-lane convs with packed kernels
             from ..ops.packing import packed_conv1d
@@ -306,10 +320,36 @@ class SpeechT5HifiGan(nn.Module):
             # canvas contract across the whole resblock stage: pad once, run
             # the 6*num_kernels fused convs + residual adds margin-carrying,
             # slice once (docs/PERF_NOTES.md round-2 roadmap item 1)
-            from ..pallas.conv1d_kernel import (canvas_ok, from_canvas,
-                                                to_canvas)
-            use_canvas = packed_r == 1 and canvas_ok(ch, ch)
+            from ..pallas.conv1d_kernel import (_on_tpu, canvas_ok,
+                                                from_canvas, pair_ok,
+                                                to_canvas, _INTERPRET)
+            from ..pallas.stage_bwd_kernel import (stage_bwd_on, stage_ok,
+                                                   stage_resblocks_canvas)
             t = x.shape[1]
+            use_stage = (packed_r == 1 and stage_bwd_on()
+                         and (_INTERPRET or _on_tpu())
+                         and stage_ok(ch, cfg.resblock_kernel_sizes,
+                                      cfg.resblock_dilation_sizes, x.dtype)
+                         and all(pair_ok(k, ch, ch, x.dtype)
+                                 for k in cfg.resblock_kernel_sizes))
+            if use_stage:
+                # per-stage fused BACKWARD megakernel: one pallas call
+                # computes the whole stage's input cotangent
+                # (pallas/stage_bwd_kernel.py)
+                params = []
+                for j, rk in enumerate(cfg.resblock_kernel_sizes):
+                    params.extend(ResidualBlock(
+                        ch, rk, cfg.resblock_dilation_sizes[j],
+                        cfg.leaky_relu_slope,
+                        name=f"resblocks_{i * num_kernels + j}")(
+                            x, collect_params=True))
+                x = from_canvas(stage_resblocks_canvas(
+                    to_canvas(x), tuple(params), t,
+                    tuple(cfg.resblock_kernel_sizes),
+                    tuple(tuple(d) for d in cfg.resblock_dilation_sizes),
+                    cfg.leaky_relu_slope), t)
+                continue
+            use_canvas = packed_r == 1 and canvas_ok(ch, ch)
             if use_canvas:
                 x = to_canvas(x)
             res = None
