@@ -44,7 +44,11 @@ BASELINE_WALL_S = 10.0
 NUM_STEPS = 200
 AUDIO_S = 10.0
 T_START = time.time()
-TOTAL_BUDGET_S = float(os.environ.get("DIFFMUSIC_TPU_BENCH_BUDGET_S", "1200"))
+# default sized against the driver's ~30-min hard timeout: worst case the
+# last section starts just inside the budget and the final JSON line prints
+# by ~budget+60s (~26 min), leaving margin — and the headline was flushed
+# within the first few minutes regardless
+TOTAL_BUDGET_S = float(os.environ.get("DIFFMUSIC_TPU_BENCH_BUDGET_S", "1500"))
 
 
 def _remaining():
