@@ -312,7 +312,10 @@ def canvas_mode() -> str:
         return "pallas_bwd"
     if v == "xbwd":
         return "xbwd"
-    if v in ("", "0") and _INTERPRET:
+    if v == "" and _INTERPRET:
+        # interpret-mode default keeps CPU coverage on the xbwd path; an
+        # EXPLICIT "0" forces the canvas off even here so the A/B hook
+        # behaves like every other routing env var
         return "xbwd"
     return "off"
 

@@ -62,8 +62,9 @@ def stage_ok(channels: int, kernel_sizes, dilation_sizes, dtype) -> bool:
                     for k, dils in zip(kernel_sizes, dilation_sizes))
     if total_pad > HALO:
         return False
-    wbytes = sum(2 * k * channels * channels * jnp.dtype(dtype).itemsize * 3
-                 for k in kernel_sizes)
+    wbytes = sum(2 * k * channels * channels * jnp.dtype(dtype).itemsize
+                 * len(dils)
+                 for k, dils in zip(kernel_sizes, dilation_sizes))
     return wbytes <= 6 * 2 ** 20
 
 

@@ -6,6 +6,7 @@ the denoise loop (UNet CFG forward + guided sampler step + guidance grad through
 VAE decode -> HiFi-GAN -> operator) compiles to a single lax.scan program.
 """
 
+import os
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -368,10 +369,18 @@ class MusicLDMPipeline:
                     model_fn = self._make_model_fn(pembeds, guidance_scale,
                                                    mp["unet"])
                     loss_fn = self.make_loss_fn(meas, owl, supervised_space, mp)
-                    step_fn = make_step_fn(self.schedule, cfg, loss_fn)
-                    final, losses = run_denoise_scan(step_fn, model_fn, init_lat,
-                                                     timesteps, k, remat=True)
-                    return losses[-1], final
+                    # The reference evaluates the decode-chain loss every inner
+                    # step but only BACKPROPS the final step's
+                    # (scheduling_ditto.py:205-208 fires at timestep == 1; the
+                    # others feed tqdm). Keeping the decode chain out of the
+                    # scan body halves the compiled program with an IDENTICAL
+                    # gradient: plain DDIM inner scan, loss evaluated once on
+                    # the final latents (== losses[-1] of the old form exactly,
+                    # samplers/steps.py ditto step).
+                    step_fn = make_step_fn(self.schedule, cfg, None)
+                    final, _ = run_denoise_scan(step_fn, model_fn, init_lat,
+                                                timesteps, k, remat=True)
+                    return loss_fn(final), final
 
                 self._denoise_cache[static_key] = jax.jit(
                     jax.value_and_grad(loss_of_init, argnums=1, has_aux=True))
@@ -472,8 +481,19 @@ class MusicLDMPipeline:
         audio = np.asarray(audio[:, :owl], np.float32)
 
         from ..inverse_problem import PhaseRetrievalOperator
-        if measurement is not None and isinstance(self.operator,
-                                                  PhaseRetrievalOperator):
+        # the projection forces |STFT(output)| == measurement verbatim, so a
+        # noisy measurement would be baked into the output audio; gate it on a
+        # (near-)noiseless noiser by default. DIFFMUSIC_TPU_PHASE_AWARE=1/0
+        # forces it on/off (scores with it on are an intentional improvement
+        # over upstream, whose phase-aware helper is dormant — noted in
+        # PARITY.md when comparing eval results).
+        phase_env = os.environ.get("DIFFMUSIC_TPU_PHASE_AWARE", "")
+        phase_aware = (phase_env == "1" or (
+            phase_env != "0"
+            and getattr(getattr(self.operator, "noiser", None),
+                        "sigma", 1.0) <= 1e-6))
+        if measurement is not None and phase_aware and isinstance(
+                self.operator, PhaseRetrievalOperator):
             # phase-aware recon for phase_retrieval (the task the reference's
             # dormant mel_spectrogram_to_waveform_with_phase was built for,
             # pipeline_musicldm.py:263-301): the measurement IS the true

@@ -321,10 +321,17 @@ def main() -> None:
         audio = np.asarray(audio)
         # stable_audio emits stereo (B, C, T); downmix for the mel PNG only
         audio_mono = audio.mean(axis=1) if audio.ndim == 3 else audio
+        if out_sr != sr:
+            # wav2mel is built at config.data.sample_rate; stable_audio's
+            # generator runs at its own native rate (44.1 kHz with real
+            # Oobleck checkpoints) — resample before taking the spectrogram
+            from diffmusic_tpu.ops.resample import resample
+            audio_mono = np.asarray(
+                resample(jnp.asarray(audio_mono), out_sr, sr))
         pred_mel = np.asarray(wav2mel(jnp.asarray(audio_mono)))[:, :, :mel_frames]
         save_mel_spectrogram(pred_mel.transpose(0, 2, 1),
                              Path(output_dir, "mel_recon",
-                                  file_name).with_suffix(".png"), out_sr)
+                                  file_name).with_suffix(".png"), sr)
         write_wav(recon_path, audio[0], out_sr)
 
 
