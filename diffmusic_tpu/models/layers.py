@@ -222,10 +222,16 @@ class Attention(nn.Module):
     Uses `jax.nn.dot_product_attention` so XLA lowers it to the fused attention
     path on TPU. qkv projections carry no bias (diffusers convention for these
     models); the output projection does.
+
+    kernel: "auto" routes long unmasked self-attention to the Pallas flash
+    kernel; "xla" forces the plain XLA path (used by the VAE mid-block, where
+    the round-4 trace attributed two 0.78 ms/step convert_reduce stalls to
+    serialization against the adjacent flash custom call — docs/PERF_NOTES.md).
     """
     heads: int
     head_dim: int
     out_dim: Optional[int] = None
+    kernel: str = "auto"
 
     @nn.compact
     def __call__(self, x, context=None, mask=None):
@@ -246,7 +252,7 @@ class Attention(nn.Module):
         if mask is not None:
             bias = jnp.where(mask[:, None, None, :], 0.0, -1e9).astype(q.dtype)
 
-        if bias is None and tq == tk and tq >= 512:
+        if self.kernel != "xla" and bias is None and tq == tk and tq >= 512:
             # long unmasked self-attention: flash kernel keeps the (T, T)
             # logits out of HBM (the XLA path materializes ~0.5 GB per level-0
             # attention at MusicLDM 10-s scale). Threshold measured: extending

@@ -23,11 +23,21 @@ class VAEAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
         b, h, w, c = x.shape
         y = FusedGroupNorm(num_groups=self.groups, epsilon=1e-6,
                            name="group_norm")(x)
         y = y.reshape(b, h * w, c)
-        y = Attention(heads=1, head_dim=c, name="attention")(y)
+        # default "xla": the mid-block is a single tiny (one per decode)
+        # attention, and the round-4 copies-mode trace attributed the two
+        # slowest tail ops — VAE GroupNorm convert_reduce fusions at
+        # 0.78 ms/step each, ~15 GB/s — to serialization against the adjacent
+        # flash-attention custom call. Routing just this block to plain XLA
+        # removes the custom-call adjacency (A/B: DIFFMUSIC_TPU_VAE_MID_ATTN
+        # =flash restores the kernel; measurement in docs/PERF_NOTES.md r5).
+        kernel = os.environ.get("DIFFMUSIC_TPU_VAE_MID_ATTN", "xla")
+        y = Attention(heads=1, head_dim=c, name="attention",
+                      kernel="xla" if kernel == "xla" else "auto")(y)
         return x + y.reshape(b, h, w, c)
 
 
