@@ -13,6 +13,8 @@ from diffmusic_tpu.fadtk import (FADEngine, get_all_models, get_model,
                                  merge_stats, stats_from_npy_dir)
 from diffmusic_tpu.fadtk.fad_batch import cache_embedding_files
 
+pytestmark = pytest.mark.slow  # scan-compiling / multi-minute: excluded from the fast tier
+
 
 def _make_wavs(d: Path, n: int, seed: int = 0):
     rng = np.random.default_rng(seed)

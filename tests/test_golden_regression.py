@@ -16,6 +16,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # scan-compiling / multi-minute: excluded from the fast tier
+
 GOLDEN_PATH = Path(__file__).parent / "golden_scores.json"
 TOLERANCE = 0.05  # fadtk/test/__main__.py:93
 

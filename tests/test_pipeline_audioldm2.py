@@ -8,6 +8,8 @@ import pytest
 from diffmusic_tpu.inverse_problem import MusicInpaintingOperator
 from diffmusic_tpu.pipelines import get_pipeline
 
+pytestmark = pytest.mark.slow  # scan-compiling / multi-minute: excluded from the fast tier
+
 AudioLDM2Pipeline = get_pipeline("audioldm2")
 
 

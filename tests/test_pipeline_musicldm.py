@@ -8,6 +8,8 @@ import pytest
 from diffmusic_tpu.inverse_problem import MusicInpaintingOperator
 from diffmusic_tpu.pipelines import MusicLDMPipeline
 
+pytestmark = pytest.mark.slow  # scan-compiling / multi-minute: excluded from the fast tier
+
 
 @pytest.fixture(scope="module")
 def inpaint_op():

@@ -14,6 +14,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # scan-compiling / multi-minute: excluded from the fast tier
+
 
 @pytest.fixture()
 def data_root(tmp_path):

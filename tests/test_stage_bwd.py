@@ -9,6 +9,8 @@ import pytest
 import diffmusic_tpu.pallas.conv1d_kernel as ck
 import diffmusic_tpu.pallas.stage_bwd_kernel as sk
 
+pytestmark = pytest.mark.slow  # scan-compiling / multi-minute: excluded from the fast tier
+
 
 @pytest.fixture(autouse=True)
 def _interpret_mode():

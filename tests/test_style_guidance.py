@@ -19,6 +19,8 @@ import pytest
 from diffmusic_tpu.inverse_problem import StyleGuidanceOperator
 from diffmusic_tpu.pipelines import MusicLDMPipeline
 
+pytestmark = pytest.mark.slow  # scan-compiling / multi-minute: excluded from the fast tier
+
 
 @pytest.fixture(scope="module")
 def style_wave():

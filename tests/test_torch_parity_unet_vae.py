@@ -25,6 +25,8 @@ from diffmusic_tpu.models.vae import AutoencoderKL, VAEAttentionBlock
 
 import torch_ref_diffusers as tr
 
+pytestmark = pytest.mark.slow  # scan-compiling / multi-minute: excluded from the fast tier
+
 
 def _seed_all(seed=0):
     torch.manual_seed(seed)

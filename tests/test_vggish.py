@@ -14,6 +14,8 @@ import torch.nn as tnn
 
 from diffmusic_tpu.metrics import vggish as V
 
+pytestmark = pytest.mark.slow  # scan-compiling / multi-minute: excluded from the fast tier
+
 
 def _torch_vggish():
     features = tnn.Sequential(

@@ -9,6 +9,8 @@ import pytest
 from diffmusic_tpu.models.vits import VitsConfig, VitsTextEncoder, tiny_vits_config
 from diffmusic_tpu.models.convert import convert_vits_text_encoder
 
+pytestmark = pytest.mark.slow  # scan-compiling / multi-minute: excluded from the fast tier
+
 
 class TestVitsParity:
     def test_matches_transformers(self):
