@@ -258,10 +258,24 @@ class Attention(nn.Module):
             # attention at MusicLDM 10-s scale). Threshold measured: extending
             # to the T=252 mid levels regressed 14.3 -> 14.6 ms (per-call
             # overhead beats the small logits traffic there).
+            # Sub-lane head dims STAY on flash: a round-5 full-program A/B
+            # at AudioLDM2's head_dim=8 measured 43.9 (flash) vs 55.8 ms/step
+            # (XLA) — the standalone micro-bench says the opposite (4513 ms
+            # vs 3.45 ms per call!), the starkest micro-inversion yet
+            # (docs/PERF_NOTES.md r5).
             from ..pallas.attention_kernel import flash_attention
             attn = flash_attention(q, k, v)
         else:
-            attn = jax.nn.dot_product_attention(q, k, v, bias=bias)
+            from ..pallas.attention_kernel import _on_tpu
+            if bias is None and tq == tk and tq >= 2048 and not _on_tpu():
+                # CPU path: the XLA fallback materializes (T, T) logits —
+                # 512 MB fp32 at the tiny pipelines' 5-s geometry; chunking
+                # the query axis is exact and ~10x faster on one core
+                # (ops/chunked_attention.py)
+                from ..ops.chunked_attention import chunked_attention
+                attn = chunked_attention(q, k, v)
+            else:
+                attn = jax.nn.dot_product_attention(q, k, v, bias=bias)
         attn = attn.reshape(b, tq, inner)
         return nn.Dense(out_dim, name="to_out")(attn)
 

@@ -252,10 +252,17 @@ def _reference_block(x, p, heads, head_dim, contexts=(), cross_biases=()):
     qh = q.reshape(b, t, heads, head_dim)
     kh = k.reshape(b, t, heads, head_dim)
     vh = v.reshape(b, t, heads, head_dim)
-    s = jnp.einsum("bqhd,bkhd->bhqk", qh.astype(jnp.float32),
-                   kh.astype(jnp.float32)) * scale
-    pr = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhqk,bkhd->bqhd", pr, vh.astype(jnp.float32))
+    if t >= 2048:
+        # this fallback only runs off-TPU (the TPU path is the fused Pallas
+        # kernel above); avoid materializing (T, T) logits on the CPU mesh —
+        # exact query-chunked form, see ops/chunked_attention.py
+        from ..ops.chunked_attention import chunked_attention
+        o = chunked_attention(qh, kh, vh, scale).astype(jnp.float32)
+    else:
+        s = jnp.einsum("bqhd,bkhd->bhqk", qh.astype(jnp.float32),
+                       kh.astype(jnp.float32)) * scale
+        pr = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", pr, vh.astype(jnp.float32))
     o = o.reshape(b, t, c).astype(x.dtype)
     res1 = x + (o @ p["wo"] + p["bo"]).astype(x.dtype)
     for i, ctx in enumerate(contexts):
