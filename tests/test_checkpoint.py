@@ -18,6 +18,8 @@ from diffmusic_tpu.models.configs import tiny_unet_config, tiny_vae_config
 from diffmusic_tpu.models.unet import UNet2DConditionModel
 from diffmusic_tpu.models.vae import AutoencoderKL
 
+pytestmark = pytest.mark.slow  # measured >45 s/module on the CPU mesh (r5)
+
 
 def _tree_shapes(tree):
     return {jax.tree_util.keystr(k): v.shape

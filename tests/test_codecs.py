@@ -14,6 +14,8 @@ from diffmusic_tpu.data import get_dataset, read_audio, write_wav
 from diffmusic_tpu.data.codecs import (decode_mp3, decode_opus, have_mp3,
                                        have_opus)
 
+pytestmark = pytest.mark.slow  # measured >45 s/module on the CPU mesh (r5)
+
 SAMPLES = Path("/root/reference/fadtk/test/samples")
 REF_CSV = Path("/root/reference/fadtk/test/samples_FAD_scores.csv")
 

@@ -10,6 +10,8 @@ import pytest
 
 from diffmusic_tpu.models import layers
 
+pytestmark = pytest.mark.slow  # measured >45 s/module on the CPU mesh (r5)
+
 
 @pytest.fixture
 def rng():

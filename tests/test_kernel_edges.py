@@ -13,6 +13,8 @@ from diffmusic_tpu.pallas.mel_kernel import (_reference_mel,
                                              fused_mel_spectrogram,
                                              mel_spectrogram_fast_grad)
 
+pytestmark = pytest.mark.slow  # measured >45 s/module on the CPU mesh (r5)
+
 
 @pytest.fixture(autouse=True)
 def _interpret_mode():

@@ -15,6 +15,8 @@ from diffmusic_tpu.models.unet import UNet2DConditionModel
 from diffmusic_tpu.models.vae import AutoencoderKL
 from diffmusic_tpu.models import convert
 
+pytestmark = pytest.mark.slow  # measured >45 s/module on the CPU mesh (r5)
+
 
 class TestHiFiGANParity:
     @pytest.fixture(scope="class")

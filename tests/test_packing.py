@@ -14,6 +14,8 @@ import pytest
 from diffmusic_tpu.ops import packing
 from diffmusic_tpu.pallas.conv1d_kernel import _conv1d_reference
 
+pytestmark = pytest.mark.slow  # measured >45 s/module on the CPU mesh (r5)
+
 
 @pytest.fixture
 def rng():

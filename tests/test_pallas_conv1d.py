@@ -9,6 +9,8 @@ import pytest
 import diffmusic_tpu.pallas.conv1d_kernel as ck
 from diffmusic_tpu.pallas.conv1d_kernel import conv1d_fused, _conv1d_reference
 
+pytestmark = pytest.mark.slow  # measured >45 s/module on the CPU mesh (r5)
+
 
 @pytest.fixture(autouse=True)
 def _interpret_mode():

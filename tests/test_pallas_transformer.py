@@ -8,6 +8,8 @@ import pytest
 import diffmusic_tpu.pallas.transformer_kernel as tk
 from diffmusic_tpu.models.layers import BasicTransformerBlock
 
+pytestmark = pytest.mark.slow  # measured >45 s/module on the CPU mesh (r5)
+
 
 @pytest.fixture(autouse=True)
 def _interpret_mode():

@@ -9,6 +9,8 @@ from jax.sharding import PartitionSpec as P
 from diffmusic_tpu.parallel import (make_mesh, shard_batch_dp, shard_params_tp,
                                     data_parallel_map)
 
+pytestmark = pytest.mark.slow  # measured >45 s/module on the CPU mesh (r5)
+
 
 class TestMesh:
     def test_mesh_shapes(self):

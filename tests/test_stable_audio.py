@@ -15,9 +15,9 @@ from diffmusic_tpu.models.configs import (tiny_oobleck_config,
 from diffmusic_tpu.models.oobleck import AutoencoderOobleck
 from diffmusic_tpu.models.stable_audio_dit import StableAudioDiTModel
 from diffmusic_tpu.samplers.edm import (EDMDPMSolverMultistepSchedule,
+                                        make_edm_sampler)
 
 pytestmark = pytest.mark.slow  # scan-compiling / multi-minute: excluded from the fast tier
-                                        make_edm_sampler)
 
 
 class TestOobleck:

@@ -10,6 +10,8 @@ import pytest
 
 from diffmusic_tpu import tracing
 
+pytestmark = pytest.mark.slow  # measured >45 s/module on the CPU mesh (r5)
+
 
 class TestTracing:
     def test_annotate_and_trace(self, tmp_path):
